@@ -1,0 +1,170 @@
+"""HiFi-GAN decoder — the LibriTTS/multispeaker vocoder
+(ref: Modules/hifigan.py:271-474).
+
+Shares the AdainResBlk1d encode/decode head and harmonic source with the
+iSTFTNet decoder; the generator instead upsamples all the way to the
+waveform with four transposed-conv stages, per-stage Snake alphas, raw
+harmonic-source injection (no STFT), and a tanh output.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...config import DecoderConfig
+from ...nn.conv import conv1d, conv_transpose1d
+from ...nn.activations import snake
+from ...nn.param_norm import weight_norm_kernel
+from .. import common as cm
+from ..adain_blocks import adain_resblk1d_apply, init_adain_resblk1d
+from .resblock import adain_resblock1_apply, init_adain_resblock1
+from .source import init_source_module, source_module_apply
+from .istftnet import random_smooth
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= x
+    return out
+
+
+def init_generator(key, cfg: DecoderConfig, style_dim: int = 128) -> Dict:
+    rates = cfg.upsample_rates
+    kernels = cfg.upsample_kernel_sizes
+    init_ch = cfg.upsample_initial_channel
+    ks = jax.random.split(key, 64)
+    ki = iter(range(64))
+
+    p: Dict = {
+        "m_source": init_source_module(ks[next(ki)]),
+        "ups": {}, "noise_convs": {}, "noise_res": {}, "resblocks": {},
+        "alphas": {"0": jnp.ones((1, init_ch, 1))},
+    }
+    for i, (u, k) in enumerate(zip(rates, kernels)):
+        c_cur = init_ch // (2 ** (i + 1))
+        p["ups"][str(i)] = cm.init_wn_conv_transpose(
+            ks[next(ki)], init_ch // (2 ** i), c_cur, k)
+        if i + 1 < len(rates):
+            stride_f0 = _prod(rates[i + 1:])
+            p["noise_convs"][str(i)] = cm.init_conv(ks[next(ki)], 1, c_cur, stride_f0 * 2)
+            p["noise_res"][str(i)] = init_adain_resblock1(ks[next(ki)], c_cur, 7, (1, 3, 5), style_dim)
+        else:
+            p["noise_convs"][str(i)] = cm.init_conv(ks[next(ki)], 1, c_cur, 1)
+            p["noise_res"][str(i)] = init_adain_resblock1(ks[next(ki)], c_cur, 11, (1, 3, 5), style_dim)
+        p["alphas"][str(i + 1)] = jnp.ones((1, c_cur, 1))
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+            p["resblocks"][str(i * len(cfg.resblock_kernel_sizes) + j)] = \
+                init_adain_resblock1(ks[next(ki)], c_cur, rk, rd, style_dim)
+    ch = init_ch // (2 ** len(rates))
+    p["conv_post"] = cm.init_wn_conv(ks[next(ki)], ch, 1, 7, w_init=cm.jinit_hifigan)
+    return p
+
+
+def generator_apply(
+    params: Dict,
+    cfg: DecoderConfig,
+    x: jnp.ndarray,            # (B, init_ch, T_mel)
+    s: jnp.ndarray,            # (B, style_dim)
+    f0: jnp.ndarray,           # (B, T_mel)
+    key: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Returns waveform (B, 1, T_samples) (ref: Modules/hifigan.py:320-346)."""
+    rates = cfg.upsample_rates
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    upsample_scale = _prod(rates)
+
+    f0_up = jnp.repeat(f0[:, None, :], upsample_scale, axis=-1)
+    f0_up = jnp.swapaxes(f0_up.reshape(f0.shape[0], 1, -1), 1, 2)
+    har_source, _, _ = source_module_apply(
+        params["m_source"], key, f0_up, upsample_scale, deterministic=deterministic)
+    har = jnp.swapaxes(har_source, 1, 2)                      # (B, 1, T_audio)
+
+    for i in range(len(rates)):
+        x = snake(x, params["alphas"][str(i)])
+        nc = params["noise_convs"][str(i)]
+        if i + 1 < len(rates):
+            stride_f0 = _prod(rates[i + 1:])
+            x_source = conv1d(har, nc["weight"], nc["bias"], stride=stride_f0,
+                              padding=(stride_f0 + 1) // 2)
+            nres_k = 7
+        else:
+            x_source = conv1d(har, nc["weight"], nc["bias"])
+            nres_k = 11
+        x_source = adain_resblock1_apply(params["noise_res"][str(i)], x_source, s,
+                                         nres_k, (1, 3, 5))
+        up = params["ups"][str(i)]
+        u, k = rates[i], cfg.upsample_kernel_sizes[i]
+        x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
+                             stride=u, padding=u // 2 + u % 2, output_padding=u % 2)
+        x_source = x_source[..., : x.shape[-1]]
+        if x_source.shape[-1] < x.shape[-1]:
+            x_source = jnp.pad(x_source, ((0, 0), (0, 0), (0, x.shape[-1] - x_source.shape[-1])))
+        x = x + x_source
+        xs = None
+        for j in range(num_kernels):
+            r = adain_resblock1_apply(
+                params["resblocks"][str(i * num_kernels + j)], x, s,
+                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j])
+            xs = r if xs is None else xs + r
+        x = xs / num_kernels
+
+    x = snake(x, params["alphas"][str(len(rates))])
+    x = cm.wn_conv1d(params["conv_post"], x, padding=3)
+    return jnp.tanh(x)
+
+
+def init_decoder(key, cfg: DecoderConfig, dim_in: int = 512, style_dim: int = 128) -> Dict:
+    ks = jax.random.split(key, 10)
+    return {
+        "encode": init_adain_resblk1d(ks[0], dim_in + 2, 1024, style_dim),
+        "decode": {
+            "0": init_adain_resblk1d(ks[1], 1024 + 2 + 64, 1024, style_dim),
+            "1": init_adain_resblk1d(ks[2], 1024 + 2 + 64, 1024, style_dim),
+            "2": init_adain_resblk1d(ks[3], 1024 + 2 + 64, 1024, style_dim),
+            "3": init_adain_resblk1d(ks[4], 1024 + 2 + 64, 512, style_dim, upsample=True),
+        },
+        "F0_conv": cm.init_wn_conv(ks[5], 1, 1, 3),
+        "N_conv": cm.init_wn_conv(ks[6], 1, 1, 3),
+        "asr_res": {"0": cm.init_wn_conv(ks[7], dim_in, 64, 1)},
+        "generator": init_generator(ks[8], cfg, style_dim),
+    }
+
+
+def decoder_apply(
+    params: Dict,
+    cfg: DecoderConfig,
+    asr: jnp.ndarray,
+    f0_curve: jnp.ndarray,
+    n_curve: jnp.ndarray,
+    s: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Full HiFi-GAN decoder forward (ref: Modules/hifigan.py:445-474)."""
+    if train and key is not None:
+        f0_curve = random_smooth(jax.random.fold_in(key, 11), f0_curve, (0, 3, 7))
+        n_curve = random_smooth(jax.random.fold_in(key, 12), n_curve, (0, 3, 7, 15))
+
+    f0 = cm.wn_conv1d(params["F0_conv"], f0_curve[:, None, :], stride=2, padding=1)
+    n = cm.wn_conv1d(params["N_conv"], n_curve[:, None, :], stride=2, padding=1)
+
+    x = jnp.concatenate([asr, f0, n], axis=1)
+    x = adain_resblk1d_apply(params["encode"], x, s)
+    asr_res = cm.wn_conv1d(params["asr_res"]["0"], asr)
+
+    res = True
+    for i in range(4):
+        if res:
+            x = jnp.concatenate([x, asr_res, f0, n], axis=1)
+        upsample = i == 3
+        x = adain_resblk1d_apply(params["decode"][str(i)], x, s, upsample=upsample)
+        if upsample:
+            res = False
+
+    return generator_apply(params["generator"], cfg, x, s, f0_curve,
+                           key=key, deterministic=not train)

@@ -1,0 +1,213 @@
+"""iSTFTNet decoder — the LJSpeech default vocoder
+(ref: Modules/istftnet.py:301-527).
+
+``Decoder``: AdainResBlk1d encode/decode stack over concat(aligned text
+features, downsampled F0/N curves), then ``Generator``: harmonic source
+(SineGen STFT spectrum injected at every scale), two transposed-conv
+upsampling stages with Snake MRF resblocks, and a final magnitude/phase
+projection inverted with the framed iSTFT.
+
+TPU notes: the whole decoder is one jittable function; the iSTFT uses the
+shifted-slice overlap-add (hop 5, n_fft 20) rather than scatter; the
+training-time random F0/N smoothing (ref hard-codes ``.to('cuda')``,
+Modules/istftnet.py:505-507) is a pure function of an explicit key.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...audio.stft import hann_window, istft_from_mag_phase, stft_mag_phase
+from ...config import DecoderConfig
+from ...nn.conv import conv1d, conv_transpose1d
+from ...nn.param_norm import weight_norm_kernel
+from .. import common as cm
+from ..adain_blocks import adain_resblk1d_apply, init_adain_resblk1d
+from .resblock import adain_resblock1_apply, init_adain_resblock1
+from .source import init_source_module, source_module_apply
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= x
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+def init_generator(key, cfg: DecoderConfig, style_dim: int = 128) -> Dict:
+    rates = cfg.upsample_rates
+    kernels = cfg.upsample_kernel_sizes
+    init_ch = cfg.upsample_initial_channel
+    n_fft = cfg.gen_istft_n_fft
+    ks = jax.random.split(key, 64)
+    ki = iter(range(64))
+
+    p: Dict = {
+        "m_source": init_source_module(ks[next(ki)]),
+        "ups": {}, "noise_convs": {}, "noise_res": {}, "resblocks": {},
+    }
+    for i, (u, k) in enumerate(zip(rates, kernels)):
+        p["ups"][str(i)] = cm.init_wn_conv_transpose(
+            ks[next(ki)], init_ch // (2 ** i), init_ch // (2 ** (i + 1)), k)
+        c_cur = init_ch // (2 ** (i + 1))
+        if i + 1 < len(rates):
+            stride_f0 = _prod(rates[i + 1:])
+            p["noise_convs"][str(i)] = cm.init_conv(
+                ks[next(ki)], n_fft + 2, c_cur, stride_f0 * 2)
+            p["noise_res"][str(i)] = init_adain_resblock1(ks[next(ki)], c_cur, 7, (1, 3, 5), style_dim)
+        else:
+            p["noise_convs"][str(i)] = cm.init_conv(ks[next(ki)], n_fft + 2, c_cur, 1)
+            p["noise_res"][str(i)] = init_adain_resblock1(ks[next(ki)], c_cur, 11, (1, 3, 5), style_dim)
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+            p["resblocks"][str(i * len(cfg.resblock_kernel_sizes) + j)] = \
+                init_adain_resblock1(ks[next(ki)], c_cur, rk, rd, style_dim)
+    ch = init_ch // (2 ** len(rates))
+    p["conv_post"] = cm.init_wn_conv(ks[next(ki)], ch, n_fft + 2, 7, w_init=cm.jinit_hifigan)
+    return p
+
+
+def generator_apply(
+    params: Dict,
+    cfg: DecoderConfig,
+    x: jnp.ndarray,            # (B, init_ch, T_mel)
+    s: jnp.ndarray,            # (B, style_dim)
+    f0: jnp.ndarray,           # (B, T_mel) F0 curve at mel rate
+    key: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Returns waveform (B, 1, T_samples) (ref: Modules/istftnet.py:349-379)."""
+    rates = cfg.upsample_rates
+    n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    upsample_scale = _prod(rates) * hop
+
+    # Harmonic source at audio rate (stop-gradient, like the reference no_grad)
+    f0_up = jnp.repeat(f0[:, None, :], upsample_scale, axis=-1)  # nearest upsample
+    f0_up = jnp.swapaxes(f0_up.reshape(f0.shape[0], 1, -1), 1, 2)
+    har_source, _, _ = source_module_apply(
+        params["m_source"], key, f0_up, upsample_scale, deterministic=deterministic)
+    har = jax.lax.stop_gradient(har_source[..., 0])               # (B, T_audio)
+    har_spec, har_phase = stft_mag_phase(har, n_fft, hop, n_fft)
+    har = jnp.concatenate([har_spec, har_phase], axis=1)          # (B, n_fft+2, F)
+
+    for i in range(len(rates)):
+        x = cm.leaky_relu(x, 0.1)
+        nc = params["noise_convs"][str(i)]
+        if i + 1 < len(rates):
+            stride_f0 = _prod(rates[i + 1:])
+            x_source = conv1d(har, nc["weight"], nc["bias"], stride=stride_f0,
+                              padding=(stride_f0 + 1) // 2)
+            nres_k = 7
+        else:
+            x_source = conv1d(har, nc["weight"], nc["bias"])
+            nres_k = 11
+        x_source = adain_resblock1_apply(params["noise_res"][str(i)], x_source, s,
+                                         nres_k, (1, 3, 5))
+        up = params["ups"][str(i)]
+        u, k = rates[i], cfg.upsample_kernel_sizes[i]
+        x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
+                             stride=u, padding=(k - u) // 2)
+        if i == len(rates) - 1:
+            # reflection_pad (1, 0)
+            x = jnp.concatenate([x[..., 1:2], x], axis=-1)
+        # align the source branch to the (possibly off-by-one) conv lengths
+        x_source = x_source[..., : x.shape[-1]]
+        if x_source.shape[-1] < x.shape[-1]:
+            x_source = jnp.pad(x_source, ((0, 0), (0, 0), (0, x.shape[-1] - x_source.shape[-1])))
+        x = x + x_source
+        xs = None
+        for j in range(num_kernels):
+            r = adain_resblock1_apply(
+                params["resblocks"][str(i * num_kernels + j)], x, s,
+                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j])
+            xs = r if xs is None else xs + r
+        x = xs / num_kernels
+
+    x = cm.leaky_relu(x, 0.01)
+    x = cm.wn_conv1d(params["conv_post"], x, padding=3)
+    spec = jnp.exp(x[:, : n_fft // 2 + 1, :])
+    phase = jnp.sin(x[:, n_fft // 2 + 1:, :])
+    wav = istft_from_mag_phase(spec, phase, n_fft, hop, n_fft)
+    return wav[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Decoder (encode/decode AdainResBlk1d stack + generator)
+# ---------------------------------------------------------------------------
+
+def init_decoder(key, cfg: DecoderConfig, dim_in: int = 512, style_dim: int = 128) -> Dict:
+    ks = jax.random.split(key, 10)
+    return {
+        "encode": init_adain_resblk1d(ks[0], dim_in + 2, 1024, style_dim),
+        "decode": {
+            "0": init_adain_resblk1d(ks[1], 1024 + 2 + 64, 1024, style_dim),
+            "1": init_adain_resblk1d(ks[2], 1024 + 2 + 64, 1024, style_dim),
+            "2": init_adain_resblk1d(ks[3], 1024 + 2 + 64, 1024, style_dim),
+            "3": init_adain_resblk1d(ks[4], 1024 + 2 + 64, 512, style_dim, upsample=True),
+        },
+        "F0_conv": cm.init_wn_conv(ks[5], 1, 1, 3),
+        "N_conv": cm.init_wn_conv(ks[6], 1, 1, 3),
+        "asr_res": {"0": cm.init_wn_conv(ks[7], dim_in, 64, 1)},
+        "generator": init_generator(ks[8], cfg, style_dim),
+    }
+
+
+def random_smooth(key, curve: jnp.ndarray, down_choices: Tuple[int, ...]) -> jnp.ndarray:
+    """Training-time random moving-average smoothing of F0/N
+    (ref: Modules/istftnet.py:499-507), as a pure function of ``key``."""
+    idx = jax.random.randint(key, (), 0, len(down_choices))
+    outs = []
+    for d in down_choices:
+        if d == 0:
+            outs.append(curve)
+        else:
+            kern = jnp.ones((1, 1, d), curve.dtype) / d
+            sm = conv1d(curve[:, None, :], kern, padding=d // 2)[:, 0, :]
+            outs.append(sm[..., : curve.shape[-1]])
+    stacked = jnp.stack(outs)
+    return stacked[idx]
+
+
+def decoder_apply(
+    params: Dict,
+    cfg: DecoderConfig,
+    asr: jnp.ndarray,          # (B, 512, T_en) aligned text features
+    f0_curve: jnp.ndarray,     # (B, 2*T_en) F0 at mel rate
+    n_curve: jnp.ndarray,      # (B, 2*T_en) energy at mel rate
+    s: jnp.ndarray,            # (B, style_dim)
+    key: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Full decoder forward -> waveform (B, 1, T_samples)
+    (ref: Modules/istftnet.py:498-527)."""
+    if train and key is not None:
+        f0_curve = random_smooth(jax.random.fold_in(key, 11), f0_curve, (0, 3, 7))
+        n_curve = random_smooth(jax.random.fold_in(key, 12), n_curve, (0, 3, 7, 15))
+
+    f0 = cm.wn_conv1d(params["F0_conv"], f0_curve[:, None, :], stride=2, padding=1)
+    n = cm.wn_conv1d(params["N_conv"], n_curve[:, None, :], stride=2, padding=1)
+
+    x = jnp.concatenate([asr, f0, n], axis=1)
+    x = adain_resblk1d_apply(params["encode"], x, s)
+
+    asr_res = cm.wn_conv1d(params["asr_res"]["0"], asr)
+
+    res = True
+    for i in range(4):
+        if res:
+            x = jnp.concatenate([x, asr_res, f0, n], axis=1)
+        upsample = i == 3
+        x = adain_resblk1d_apply(params["decode"][str(i)], x, s, upsample=upsample)
+        if upsample:
+            res = False
+
+    return generator_apply(params["generator"], cfg, x, s, f0_curve,
+                           key=key, deterministic=not train)

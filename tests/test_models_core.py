@@ -1,0 +1,189 @@
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from styletts2_tpu.config import DecoderConfig
+from styletts2_tpu.models.text_encoder import init_text_encoder, text_encoder_apply
+from styletts2_tpu.models.style_encoder import init_style_encoder, style_encoder_apply
+from styletts2_tpu.models.predictor import (
+    init_prosody_predictor,
+    prosody_duration_apply,
+    prosody_f0n_apply,
+)
+from styletts2_tpu.models.diffusion.denoiser import (
+    denoiser_apply,
+    denoiser_cfg_apply,
+    fixed_embedding,
+    init_denoiser,
+)
+from styletts2_tpu.models.diffusion import sampler as S
+from styletts2_tpu.models.decoder import istftnet, hifigan
+from styletts2_tpu.models.decoder.source import sine_gen
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_text_encoder_shapes_and_mask_independence():
+    params = init_text_encoder(KEY, n_symbols=179, channels=64, depth=2)
+    tokens = jnp.array([[1, 5, 9, 2, 0, 0], [3, 4, 6, 7, 8, 2]])
+    lengths = jnp.array([4, 6])
+    out = text_encoder_apply(params, tokens, lengths)
+    assert out.shape == (2, 64, 6)
+    # padded region is zero
+    assert np.allclose(np.asarray(out[0, :, 4:]), 0.0)
+    # result for sample 0 equals the unpadded run
+    solo = text_encoder_apply(params, tokens[:1, :4], jnp.array([4]))
+    np.testing.assert_allclose(np.asarray(out[0, :, :4]), np.asarray(solo[0]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_style_encoder_shapes():
+    params = init_style_encoder(KEY, dim_in=16, style_dim=8, max_conv_dim=48)
+    mel = jax.random.normal(KEY, (2, 1, 80, 96))
+    s = style_encoder_apply(params, mel)
+    assert s.shape == (2, 8)
+    s_masked = style_encoder_apply(params, mel, lengths=jnp.array([96, 96]))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_masked), atol=1e-4, rtol=1e-3)
+
+
+def test_prosody_predictor_shapes():
+    d_hid, sty = 32, 16
+    params = init_prosody_predictor(KEY, sty, d_hid, nlayers=2, max_dur=10)
+    b, t, t_mel = 2, 7, 12
+    texts = jax.random.normal(KEY, (b, d_hid, t))
+    style = jax.random.normal(jax.random.fold_in(KEY, 1), (b, sty))
+    lengths = jnp.array([7, 5])
+    aln = jax.nn.softmax(jax.random.normal(jax.random.fold_in(KEY, 2), (b, t, t_mel)), axis=1)
+    dur, en = prosody_duration_apply(params, texts, style, lengths, aln, nlayers=2)
+    assert dur.shape == (b, t, 10)
+    assert en.shape == (b, d_hid + sty, t_mel)
+    f0, n = prosody_f0n_apply(params, en, style)
+    assert f0.shape == (b, 2 * t_mel)
+    assert n.shape == (b, 2 * t_mel)
+
+
+def test_denoiser_shapes_and_cfg_consistency():
+    params = init_denoiser(KEY, channels=32, context_embedding_features=48,
+                           num_layers=2, num_heads=4, head_features=8,
+                           multiplier=2, embedding_max_length=64)
+    b, length = 2, 11
+    x = jax.random.normal(KEY, (b, 1, 32))
+    t = jnp.array([0.5, 1.2])
+    emb = jax.random.normal(jax.random.fold_in(KEY, 3), (b, length, 48))
+    out = denoiser_apply(params, x, t, emb, num_heads=4)
+    assert out.shape == (b, 1, 32)
+
+    # CFG via doubled batch == explicit two-pass combination
+    scale = 2.0
+    got = denoiser_cfg_apply(params, x, t, emb, embedding_scale=scale, num_heads=4)
+    fix = fixed_embedding(params, b, length)
+    cond = denoiser_apply(params, x, t, emb, num_heads=4)
+    uncond = denoiser_apply(params, x, t, fix, num_heads=4)
+    want = uncond + (cond - uncond) * scale
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4)
+
+
+def test_style_denoiser_with_features():
+    params = init_denoiser(KEY, channels=32, context_embedding_features=48,
+                           num_layers=2, num_heads=4, head_features=8,
+                           multiplier=2, embedding_max_length=64, style_dim=32)
+    x = jax.random.normal(KEY, (2, 1, 32))
+    t = jnp.array([0.5, 1.2])
+    emb = jax.random.normal(KEY, (2, 9, 48))
+    feat = jax.random.normal(KEY, (2, 32))
+    out = denoiser_apply(params, x, t, emb, features=feat, num_heads=4,
+                         style_conditioned=True)
+    assert out.shape == (2, 1, 32)
+
+
+def test_karras_schedule_matches_reference_formula():
+    ours = np.asarray(S.karras_schedule(5, 1e-4, 3.0, 9.0))
+    steps = torch.arange(5, dtype=torch.float32)
+    rho = 9.0
+    sigmas = (3.0 ** (1 / rho) + (steps / 4) * (1e-4 ** (1 / rho) - 3.0 ** (1 / rho))) ** rho
+    theirs = tF.pad(sigmas, (0, 1)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6, rtol=1e-5)
+    assert ours[0] == pytest.approx(3.0, rel=1e-5)
+    assert ours[-1] == 0.0
+
+
+def test_adpm2_sampler_against_numpy_reference():
+    """ADPM2 vs an independent numpy transcription of the DPM-2 ancestral
+    update rule with a linear test denoiser and injected noise."""
+    w = 0.7
+
+    def fn(x, sig):
+        return x * w  # linear "denoiser"
+
+    sigmas = np.asarray(S.karras_schedule(4, 1e-4, 3.0, 9.0))
+    key = jax.random.PRNGKey(5)
+    noise = jax.random.normal(key, (1, 1, 8))
+    ours = np.asarray(S.adpm2_sample(key, noise, fn, jnp.asarray(sigmas), 4, clamp=False))
+
+    # numpy re-derivation, reusing the same fold_in noise draws
+    x = sigmas[0] * np.asarray(noise)
+    for i in range(3):
+        sig, sig_next = float(sigmas[i]), float(sigmas[i + 1])
+        up = np.sqrt(sig_next ** 2 * (sig ** 2 - sig_next ** 2) / sig ** 2)
+        down = np.sqrt(sig_next ** 2 - up ** 2)
+        mid = ((sig + down) / 2)
+        d = (x - x * w) / sig
+        x_mid = x + d * (mid - sig)
+        d_mid = (x_mid - x_mid * w) / mid
+        x = x + d_mid * (down - sig)
+        eps = np.asarray(jax.random.normal(jax.random.fold_in(key, i), x.shape))
+        x = x + eps * up
+    np.testing.assert_allclose(ours, x, atol=1e-5, rtol=1e-4)
+
+
+def test_sine_gen_matches_torch_math():
+    """Deterministic SineGen vs a direct torch transcription of the
+    interpolate->cumsum->interpolate phase construction (ref: istftnet.py:146-186)."""
+    upsample = 12
+    t_mel = 6
+    f0_base = np.abs(np.random.default_rng(0).standard_normal((2, t_mel)).astype(np.float32)) * 200
+    f0_up = np.repeat(f0_base, upsample, axis=1)[:, :, None]
+
+    ours, uv, _ = sine_gen(None, jnp.asarray(f0_up), upsample, 24000, 8,
+                           deterministic=True)
+
+    f0t = torch.tensor(f0_up)
+    fn = f0t * torch.arange(1, 10, dtype=torch.float32)[None, None, :]
+    rad = (fn / 24000) % 1
+    rad_lo = tF.interpolate(rad.transpose(1, 2), scale_factor=1 / upsample,
+                            mode="linear").transpose(1, 2)
+    phase = torch.cumsum(rad_lo, dim=1) * 2 * np.pi
+    phase = tF.interpolate(phase.transpose(1, 2) * upsample, scale_factor=upsample,
+                           mode="linear").transpose(1, 2)
+    sines = torch.sin(phase) * 0.1
+    uv_t = (f0t > 10).float()
+    want = sines * uv_t
+    np.testing.assert_allclose(np.asarray(ours), want.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(uv), uv_t.numpy())
+
+
+@pytest.mark.parametrize("module,cfg", [
+    (istftnet, DecoderConfig()),
+    (hifigan, DecoderConfig(type="hifigan", upsample_rates=(10, 5, 3, 2),
+                            upsample_kernel_sizes=(20, 10, 6, 4))),
+])
+def test_decoder_end_to_end(module, cfg):
+    params = module.init_decoder(KEY, cfg, dim_in=512, style_dim=128)
+    b, t_en = 1, 8
+    asr = jax.random.normal(KEY, (b, 512, t_en)) * 0.1
+    f0 = jnp.abs(jax.random.normal(KEY, (b, 2 * t_en))) * 100
+    n = jnp.abs(jax.random.normal(KEY, (b, 2 * t_en)))
+    s = jax.random.normal(KEY, (b, 128)) * 0.1
+
+    # jit: eager mode pays per-op XLA compiles on several hundred distinct
+    # conv shapes; one compiled program is what production uses anyway.
+    apply = jax.jit(lambda p, a, f, nn, ss: module.decoder_apply(p, cfg, a, f, nn, ss))
+    wav = apply(params, asr, f0, n, s)
+    # 300 samples per mel frame, 2*t_en mel frames
+    assert wav.shape[0] == b and wav.shape[1] == 1
+    assert abs(wav.shape[2] - 600 * t_en) <= 600
+    assert np.isfinite(np.asarray(wav)).all()
