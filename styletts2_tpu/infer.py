@@ -1,0 +1,233 @@
+"""Inference engine — the demo-notebook API, TPU-native.
+
+Reference behaviour (Demo/Inference_LJSpeech.ipynb cell 17,
+Demo/Inference_LibriTTS.ipynb cells 5/16/28/42/45) reorganized into two
+jit-compiled stages with static shape buckets:
+
+1. ``frontend``: tokens -> text/bert encodings, ADPM2 style sampling,
+   duration prediction.  Bucketed by token length.
+2. ``synthesize``: hard alignment expansion -> F0/N -> decoder -> waveform.
+   Bucketed by (token length, frame capacity).
+
+The reference's host-side ``pred_aln_trg`` loop becomes a broadcasted-iota
+alignment; CFG runs as one doubled batch; everything between token ids and
+the waveform stays on device.  Batched inputs are first-class — the engine
+synthesizes whole padded batches in one call (the reference is batch-1 only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelParams
+from .models import common as cm
+from .models.decoder import hifigan, istftnet
+from .models.diffusion import sampler as S
+from .models.diffusion.denoiser import denoiser_cfg_apply
+from .models.plbert import PLBertConfig, plbert_apply
+from .models.predictor import duration_encoder_apply, prosody_f0n_apply
+from .models.text_encoder import text_encoder_apply
+from .nn.linear import linear
+from .nn.lstm import bilstm
+from .ops.alignment import hard_alignment
+from .text import TextCleaner
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class InferenceEngine:
+    """Caches jitted stages per shape bucket."""
+
+    zoo: Dict
+    model_params: ModelParams
+    plbert_cfg: PLBertConfig = PLBertConfig()
+    sigma_data: float = 0.2
+    token_bucket: int = 32
+    frame_bucket: int = 100
+    last_token_pad: int = 5        # LJSpeech demo: pred_dur[-1] += 5
+
+    def __post_init__(self):
+        self._frontend_cache: Dict = {}
+        self._synth_cache: Dict = {}
+        self.cleaner = TextCleaner()
+
+    # -- tokenization -----------------------------------------------------
+    def tokens_from_phonemes(self, phonemes: str) -> np.ndarray:
+        toks = self.cleaner(phonemes)
+        toks.insert(0, 0)
+        return np.asarray(toks, dtype=np.int32)
+
+    # -- stage 1 ----------------------------------------------------------
+    def _frontend_fn(self, length: int, num_steps: int, embedding_scale: float,
+                     use_ref: bool):
+        mp = self.model_params
+        style_dim = mp.style_dim
+
+        def fn(zoo, tokens, lengths, key, noise, ref_s, s_prev, prev_mix):
+            mask = jnp.arange(length)[None, :] < lengths[:, None]
+            t_en = text_encoder_apply(zoo["text_encoder"], tokens, lengths)
+            bert_dur = plbert_apply(zoo["bert"], tokens, mask.astype(jnp.int32),
+                                    self.plbert_cfg)
+            d_en = jnp.swapaxes(
+                linear(bert_dur, zoo["bert_encoder"]["weight"], zoo["bert_encoder"]["bias"]),
+                1, 2)
+
+            def net(x, c_noise):
+                return denoiser_cfg_apply(
+                    zoo["diffusion"]["transformer"], x, c_noise, bert_dur,
+                    embedding_scale=embedding_scale,
+                    features=ref_s if (use_ref and mp.multispeaker) else None,
+                    num_heads=mp.diffusion.transformer.num_heads,
+                    style_conditioned=mp.multispeaker,
+                )
+
+            fn_denoise = S.k_denoise_fn(net, self.sigma_data)
+            sigmas = S.karras_schedule(num_steps)
+            s_pred = S.adpm2_sample(key, noise, fn_denoise, sigmas, num_steps)[:, 0, :]
+
+            # long-form style carry-over: s_pred <- t*s_prev + (1-t)*s_pred
+            s_pred = jnp.where(prev_mix > 0, prev_mix * s_prev + (1 - prev_mix) * s_pred,
+                               s_pred)
+
+            s = s_pred[:, style_dim:]
+            ref = s_pred[:, :style_dim]
+            if use_ref:
+                alpha, beta = self._alpha, self._beta
+                ref = alpha * ref + (1 - alpha) * ref_s[:, :style_dim]
+                s = beta * s + (1 - beta) * ref_s[:, style_dim:]
+            s_out = jnp.concatenate([ref, s], axis=-1)
+
+            d = duration_encoder_apply(zoo["predictor"]["text_encoder"], d_en, s,
+                                       lengths, mp.n_layer)
+            x = bilstm(zoo["predictor"]["lstm"], d, lengths)
+            proj = zoo["predictor"]["duration_proj"]["linear_layer"]
+            dur_logits = linear(x, proj["weight"], proj["bias"])
+            duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)
+            pred_dur = jnp.maximum(jnp.round(duration), 1.0)
+            pred_dur = jnp.where(mask, pred_dur, 0.0)
+            # reference pads the final token's duration (LJSpeech demo)
+            if self.last_token_pad:
+                last = lengths - 1
+                onehot = jnp.arange(length)[None, :] == last[:, None]
+                pred_dur = pred_dur + self.last_token_pad * onehot
+            return t_en, d, s, ref, s_out, pred_dur.astype(jnp.int32)
+
+        return jax.jit(fn)
+
+    # -- stage 2 ----------------------------------------------------------
+    def _synth_fn(self, length: int, t_mel: int):
+        mp = self.model_params
+        decoder_mod = istftnet if mp.decoder.type == "istftnet" else hifigan
+
+        def fn(zoo, t_en, d, s, ref, pred_dur, lengths):
+            token_mask = (jnp.arange(length)[None, :] < lengths[:, None]).astype(jnp.float32)
+            aln = hard_alignment(pred_dur, t_mel, token_mask)
+            en = jnp.swapaxes(d, 1, 2) @ aln
+            asr = t_en @ aln
+            if mp.decoder.type == "hifigan":
+                # one-frame right shift (Inference_LibriTTS.ipynb cell 16)
+                def shift(z):
+                    return jnp.concatenate([z[..., :1], z[..., :-1]], axis=-1)
+                en = shift(en)
+                asr = shift(asr)
+            f0, n = prosody_f0n_apply(zoo["predictor"], en, s)
+            wav = decoder_mod.decoder_apply(zoo["decoder"], mp.decoder, asr, f0, n, ref)
+            return wav[:, 0, :]
+
+        return jax.jit(fn)
+
+    # -- public API -------------------------------------------------------
+    def synthesize(
+        self,
+        phonemes,                       # str or list[str]
+        key: Optional[jax.Array] = None,
+        noise: Optional[np.ndarray] = None,
+        diffusion_steps: int = 5,
+        embedding_scale: float = 1.0,
+        ref_s: Optional[np.ndarray] = None,
+        alpha: float = 0.3,
+        beta: float = 0.7,
+        s_prev: Optional[np.ndarray] = None,
+        prev_blend: float = 0.0,
+        trim_tail: int = 0,
+        return_styles: bool = False,
+    ):
+        """Phoneme strings -> list of waveforms (24 kHz numpy, trimmed to each
+        sample's true length)."""
+        single = isinstance(phonemes, str)
+        texts = [phonemes] if single else list(phonemes)
+        toks = [self.tokens_from_phonemes(p) for p in texts]
+        b = len(toks)
+        lengths = np.array([len(t) for t in toks], dtype=np.int32)
+        cap = _round_up(int(lengths.max()), self.token_bucket)
+        tokens = np.zeros((b, cap), dtype=np.int32)
+        for i, t in enumerate(toks):
+            tokens[i, : len(t)] = t
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_noise, k_samp = jax.random.split(key)
+        if noise is None:
+            noise = jax.random.normal(k_noise, (b, 1, self.model_params.style_dim * 2))
+        else:
+            noise = jnp.asarray(noise)
+
+        use_ref = ref_s is not None
+        self._alpha, self._beta = alpha, beta
+        fkey = (cap, diffusion_steps, float(embedding_scale), use_ref,
+                alpha if use_ref else None, beta if use_ref else None)
+        if fkey not in self._frontend_cache:
+            self._frontend_cache[fkey] = self._frontend_fn(
+                cap, diffusion_steps, embedding_scale, use_ref)
+        ref_in = jnp.zeros((b, self.model_params.style_dim * 2)) if ref_s is None \
+            else jnp.asarray(ref_s)
+        sp_in = jnp.zeros_like(ref_in) if s_prev is None else jnp.asarray(s_prev)
+        t_en, d, s, ref, s_out, pred_dur = self._frontend_cache[fkey](
+            self.zoo, jnp.asarray(tokens), jnp.asarray(lengths), k_samp, noise,
+            ref_in, sp_in, jnp.float32(prev_blend if s_prev is not None else 0.0))
+
+        pred_dur_np = np.asarray(pred_dur)
+        frames = pred_dur_np.sum(axis=1)
+        t_mel = _round_up(int(frames.max()), self.frame_bucket)
+        skey = (cap, t_mel)
+        if skey not in self._synth_cache:
+            self._synth_cache[skey] = self._synth_fn(cap, t_mel)
+        wav = self._synth_cache[skey](self.zoo, t_en, d, s, ref, pred_dur,
+                                      jnp.asarray(lengths))
+        wav = np.asarray(wav)
+
+        outs = []
+        samples_per_frame = 300
+        for i in range(b):
+            n = int(frames[i]) * samples_per_frame
+            w = wav[i, :n]
+            if trim_tail:
+                w = w[:-trim_tail]
+            outs.append(w)
+        if return_styles:
+            styles = np.asarray(s_out)
+            return (outs[0], styles[0]) if single else (outs, styles)
+        return outs[0] if single else outs
+
+    def long_form(self, sentences, key=None, t: float = 0.7, **kw):
+        """LFinference: per-sentence synthesis with style carry-over
+        (Demo/Inference_LJSpeech.ipynb cell 29)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        s_prev = None
+        pieces = []
+        for i, sent in enumerate(sentences):
+            wav, s_prev = self.synthesize(
+                sent, key=jax.random.fold_in(key, i), s_prev=s_prev,
+                prev_blend=t if s_prev is not None else 0.0,
+                return_styles=True, **kw)
+            pieces.append(wav)
+        return np.concatenate(pieces)

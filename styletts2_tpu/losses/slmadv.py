@@ -1,0 +1,162 @@
+"""SLM adversarial training (ref: Modules/slmadv.py).
+
+Full text->speech pipeline on OOD (or in-distribution) text: sample a style
+via the diffusion sampler, predict durations, build the differentiable
+Gaussian alignment, synthesize, and score with the Whisper discriminator.
+
+SPMD redesign: the reference's data-dependent skips (``SkipSLMAdversarial``
+when fewer than 2 valid samples, cross-rank min-batch gathers,
+``batch_percentage`` truncation) become *masked uniform computation* — every
+replica executes the same program and invalid samples contribute zero weight.
+The discriminator-vs-generator alternation (every ``skip_update`` iters) is a
+static flag chosen by the host loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelParams, SlmAdvParams
+from ..models import common as cm
+from ..models.decoder import hifigan, istftnet
+from ..models.diffusion import sampler as S
+from ..models.diffusion.denoiser import denoiser_apply, fixed_embedding
+from ..models.plbert import PLBertConfig, plbert_apply
+from ..models.predictor import prosody_duration_apply, prosody_f0n_apply
+from ..models.text_encoder import text_encoder_apply
+from ..models.whisper import WhisperConfig
+from ..nn.linear import linear
+from ..ops.alignment import gaussian_alignment
+from .slm import slm_discriminator_loss, slm_discriminator_forward, slm_generator_loss
+
+HOP = 300
+
+
+class SlmAdvOut(NamedTuple):
+    d_loss: jnp.ndarray
+    gen_loss: jnp.ndarray
+    valid_fraction: jnp.ndarray
+
+
+def slm_adversarial(
+    zoo: Dict,
+    key,
+    mp: ModelParams,
+    plbert_cfg: PLBertConfig,
+    whisper_cfg: WhisperConfig,
+    adv: SlmAdvParams,
+    ref_texts: jnp.ndarray,          # (B, L) OOD or in-dist token ids
+    ref_lengths: jnp.ndarray,        # (B,)
+    waves: jnp.ndarray,              # (B, T) ground-truth waveforms
+    mel_input_length: jnp.ndarray,   # (B,)
+    y_rec_gt: jnp.ndarray,           # (B, T_clip) recording clip
+    y_rec_gt_pred: jnp.ndarray,      # (B, T_clip) reconstruction clip
+    s_trg: jnp.ndarray,              # (B, 2*style) ground-truth styles
+    ref_style: Optional[jnp.ndarray],  # (B, 2*style) multispeaker ref or None
+    num_steps: int,                  # static: randint(3, 5) chosen by host
+    use_ind_style: bool,             # static: use s_trg instead of sampling
+    run_discriminator: bool,         # static: every `iter` steps
+    frame_capacity: int,             # static Gaussian-alignment frame budget
+) -> SlmAdvOut:
+    b, length = ref_texts.shape
+    style_dim = mp.style_dim
+    mel_len = adv.min_len // 2      # static clip length in en-frames
+    text_mask_pad = cm.length_to_mask(ref_lengths, length)
+
+    bert_dur = plbert_apply(zoo["bert"], ref_texts, (~text_mask_pad).astype(jnp.int32),
+                            plbert_cfg)
+    d_en = jnp.swapaxes(
+        linear(bert_dur, zoo["bert_encoder"]["weight"], zoo["bert_encoder"]["bias"]), 1, 2)
+
+    if use_ind_style:
+        s_preds = s_trg
+    else:
+        def net(x, c_noise):
+            # embedding_mask_proba=0.1 during slmadv sampling (ref: slmadv.py:86)
+            mask = jax.random.bernoulli(jax.random.fold_in(key, 40), 0.1, (b, 1, 1))
+            fix = fixed_embedding(zoo["diffusion"]["transformer"], b, length)
+            emb = jnp.where(mask, fix, jax.lax.stop_gradient(bert_dur))
+            return denoiser_apply(
+                zoo["diffusion"]["transformer"], x, c_noise, emb,
+                features=ref_style if mp.multispeaker else None,
+                num_heads=mp.diffusion.transformer.num_heads,
+                style_conditioned=mp.multispeaker)
+
+        fn = S.k_denoise_fn(net, 0.2)
+        noise = jax.random.normal(jax.random.fold_in(key, 41), (b, 1, style_dim * 2))
+        sigmas = S.karras_schedule(num_steps)
+        s_preds = S.adpm2_sample(jax.random.fold_in(key, 42), noise, fn, sigmas,
+                                 num_steps)[:, 0, :]
+
+    s_dur = s_preds[:, style_dim:]
+    acoustic = s_preds[:, :style_dim]
+
+    dur_logits, _ = prosody_duration_apply(
+        zoo["predictor"], d_en, s_dur, ref_lengths,
+        jnp.zeros((b, length, 1)),  # alignment unused for the duration output
+        mp.n_layer, train=True, rng=jax.random.fold_in(key, 43))
+
+    attn, pred_frames = gaussian_alignment(dur_logits, ref_lengths, frame_capacity,
+                                           adv.sig)
+
+    t_en = jax.lax.stop_gradient(
+        text_encoder_apply(zoo["text_encoder"], ref_texts, ref_lengths))
+    asr_pred = t_en @ attn                                   # (B, C, frame_capacity)
+
+    _, p_pred = prosody_duration_apply(
+        zoo["predictor"], d_en, s_dur, ref_lengths, attn, mp.n_layer,
+        train=True, rng=jax.random.fold_in(key, 44))
+
+    # random clips of the predicted feature streams (masked validity)
+    mel_length_gt = mel_input_length // 2
+    valid = (mel_length_gt > mel_len) & (pred_frames > mel_len)
+    u = jax.random.uniform(jax.random.fold_in(key, 45), (b,))
+    start_pred = (u * jnp.maximum(pred_frames - mel_len, 1)).astype(jnp.int32)
+
+    def clip(x, st):
+        return jax.vmap(lambda xi, s0: jax.lax.dynamic_slice_in_dim(xi, s0, mel_len, axis=1))(x, st)
+
+    en = clip(asr_pred, start_pred)
+    p_en = clip(p_pred, start_pred)
+
+    decoder_mod = istftnet if mp.decoder.type == "istftnet" else hifigan
+    f0_fake, n_fake = prosody_f0n_apply(zoo["predictor"], p_en, s_dur)
+    y_pred = decoder_mod.decoder_apply(zoo["decoder"], mp.decoder, en,
+                                       f0_fake, n_fake, acoustic)[:, 0, :]
+
+    # ground-truth waveform clips
+    u2 = jax.random.uniform(jax.random.fold_in(key, 46), (b,))
+    start_gt = (u2 * jnp.maximum(mel_length_gt - mel_len, 1)).astype(jnp.int32)
+    wav = jax.vmap(
+        lambda w, s0: jax.lax.dynamic_slice_in_dim(w, s0 * 2 * HOP, mel_len * 2 * HOP)
+    )(waves, start_gt)
+    wav = jax.lax.stop_gradient(wav)
+
+    vf = valid.astype(jnp.float32)
+    weight = vf.sum() / jnp.maximum(vf.sum(), 1.0)           # 0 if none valid
+
+    gen_loss = slm_generator_loss(zoo["slm_encoder"], zoo["wd"], y_pred,
+                                  whisper_cfg, mp.slm.hop_length) * weight
+
+    if run_discriminator:
+        use_rec = jax.random.bernoulli(jax.random.fold_in(key, 47))
+        real = jnp.where(use_rec,
+                         y_rec_gt_pred[:, : wav.shape[-1]],
+                         wav[:, : y_rec_gt_pred.shape[-1]] if y_rec_gt_pred.shape[-1] <= wav.shape[-1] else wav)
+        d_loss = slm_discriminator_loss(
+            zoo["slm_encoder"], zoo["wd"], jax.lax.stop_gradient(real),
+            jax.lax.stop_gradient(y_pred), whisper_cfg, mp.slm.hop_length) * weight
+        # reconstruction-invariance regularizer (ref: slmadv.py:245-249)
+        out_gt = slm_discriminator_forward(zoo["slm_encoder"], zoo["wd"], y_rec_gt,
+                                           whisper_cfg, mp.slm.hop_length)
+        out_rec = slm_discriminator_forward(zoo["slm_encoder"], zoo["wd"], y_rec_gt_pred,
+                                            whisper_cfg, mp.slm.hop_length)
+        d_loss = d_loss + jnp.mean(jnp.abs(out_gt - out_rec)) * weight
+    else:
+        d_loss = jnp.zeros(())
+
+    return SlmAdvOut(d_loss, gen_loss, vf.mean())

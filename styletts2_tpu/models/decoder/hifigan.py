@@ -118,19 +118,22 @@ def generator_apply(
     return jnp.tanh(x)
 
 
-def init_decoder(key, cfg: DecoderConfig, dim_in: int = 512, style_dim: int = 128) -> Dict:
+def init_decoder(key, cfg: DecoderConfig, dim_in: int = 512, style_dim: int = 128,
+                 width: int = 1024, asr_res_ch: int = 64) -> Dict:
+    """``width``/``asr_res_ch`` default to the reference's hard-coded 1024/64
+    channel plan (ref: Decoder.__init__); smaller values are for tests."""
     ks = jax.random.split(key, 10)
     return {
-        "encode": init_adain_resblk1d(ks[0], dim_in + 2, 1024, style_dim),
+        "encode": init_adain_resblk1d(ks[0], dim_in + 2, width, style_dim),
         "decode": {
-            "0": init_adain_resblk1d(ks[1], 1024 + 2 + 64, 1024, style_dim),
-            "1": init_adain_resblk1d(ks[2], 1024 + 2 + 64, 1024, style_dim),
-            "2": init_adain_resblk1d(ks[3], 1024 + 2 + 64, 1024, style_dim),
-            "3": init_adain_resblk1d(ks[4], 1024 + 2 + 64, 512, style_dim, upsample=True),
+            "0": init_adain_resblk1d(ks[1], width + 2 + asr_res_ch, width, style_dim),
+            "1": init_adain_resblk1d(ks[2], width + 2 + asr_res_ch, width, style_dim),
+            "2": init_adain_resblk1d(ks[3], width + 2 + asr_res_ch, width, style_dim),
+            "3": init_adain_resblk1d(ks[4], width + 2 + asr_res_ch, width // 2, style_dim, upsample=True),
         },
         "F0_conv": cm.init_wn_conv(ks[5], 1, 1, 3),
         "N_conv": cm.init_wn_conv(ks[6], 1, 1, 3),
-        "asr_res": {"0": cm.init_wn_conv(ks[7], dim_in, 64, 1)},
+        "asr_res": {"0": cm.init_wn_conv(ks[7], dim_in, asr_res_ch, 1)},
         "generator": init_generator(ks[8], cfg, style_dim),
     }
 

@@ -1,0 +1,147 @@
+"""Checkpoint save/load/convert.
+
+Native format: flattened-name ``.npz`` archives with a JSON meta sidecar —
+a torch-free, accelerator-free serialization that supports resume
+(params + optimizer states + counters) like the reference's
+``{net, optimizer, iters, epoch}`` dicts (ref: train_first.py:547-571).
+
+Reference ``.pth`` conversion: maps each of the 13 module state dicts into
+our nested params with shape adaptation (ref: models.py:1113-1239), including
+the diffusion wrapper's duplicated ``unet.* / diffusion.net.*`` keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .torch_compat import (
+    convert_module_state,
+    flatten,
+    load_torch_file,
+    nest,
+    strip_prefix,
+    to_numpy_state,
+)
+
+META_SUFFIX = ".meta.json"
+
+
+def save_checkpoint(path: str, zoo: Mapping, opt_states: Optional[Mapping] = None,
+                    epoch: int = 0, iters: int = 0, extra: Optional[Dict] = None):
+    flat = {f"net.{k}": np.asarray(v) for k, v in flatten(zoo).items()}
+    if opt_states is not None:
+        opt_flat, opt_tree = _flatten_pytree(opt_states)
+        flat.update({f"opt.{i}": np.asarray(v) for i, v in enumerate(opt_flat)})
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    meta = {"epoch": epoch, "iters": iters, "extra": extra or {}}
+    if opt_states is not None:
+        meta["opt_tree"] = True
+    with open(path + META_SUFFIX, "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, zoo: Optional[Mapping] = None,
+                    opt_template: Optional[Mapping] = None):
+    """Returns (zoo_params, opt_states | None, epoch, iters)."""
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    net_flat = {k[len("net."):]: data[k] for k in data.files if k.startswith("net.")}
+    params = nest(net_flat)
+    meta = {"epoch": 0, "iters": 0}
+    if os.path.exists(path + META_SUFFIX):
+        meta.update(json.load(open(path + META_SUFFIX)))
+    opt_states = None
+    if opt_template is not None:
+        opt_leaves = [data[f"opt.{i}"] for i in range(len([k for k in data.files if k.startswith("opt.")]))]
+        if opt_leaves:
+            treedef = jax.tree_util.tree_structure(opt_template)
+            opt_states = jax.tree_util.tree_unflatten(treedef, opt_leaves)
+    return params, opt_states, meta["epoch"], meta["iters"]
+
+
+def _flatten_pytree(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+# ---------------------------------------------------------------------------
+# Reference .pth conversion
+# ---------------------------------------------------------------------------
+
+#: zoo module -> transform applied to its torch state dict before re-nesting
+def _convert_diffusion(state: Mapping[str, Any]) -> Dict:
+    """The torch diffusion wrapper stores the denoiser twice (``unet.*`` and
+    ``diffusion.net.*``, ref: models.py:1080-1089); keep one copy."""
+    out = {}
+    for k, v in state.items():
+        if k.startswith("unet."):
+            out[k[len("unet."):]] = v
+        elif k.startswith("diffusion.net."):
+            out.setdefault(k[len("diffusion.net."):], v)
+    return {"transformer": nest(to_numpy_state(out))}
+
+
+def convert_reference_checkpoint(
+    path: str,
+    current_zoo: Optional[Mapping] = None,
+    ignore_modules: Sequence[str] = (),
+) -> Dict:
+    """Convert a reference ``.pth`` training checkpoint ({net: {module:
+    state_dict}}) into a zoo params dict (ref: models.py:1218-1239)."""
+    state = load_torch_file(path)
+    nets = state.get("net", state)
+    zoo: Dict = {}
+    for name, module_state in nets.items():
+        if name in ignore_modules:
+            continue
+        module_state = strip_prefix(dict(module_state))
+        if name == "diffusion":
+            zoo[name] = _convert_diffusion(module_state)
+        else:
+            cur = current_zoo.get(name) if current_zoo else None
+            zoo[name] = convert_module_state(module_state, cur, name)
+    return zoo
+
+
+def convert_plbert_checkpoint(ckpt_path: str) -> Dict:
+    """PL-BERT ``step_*.t7`` -> bert params (ref: Utils/PLBERT/util.py:98-112)."""
+    state = load_torch_file(ckpt_path)["net"]
+    out = {}
+    for k, v in state.items():
+        k = k[7:] if k.startswith("module.") else k         # strip "module."
+        if k.startswith("encoder."):
+            k = k[8:]
+            if k == "embeddings.position_ids":
+                continue
+            out[k] = v
+    return nest(to_numpy_state(out))
+
+
+def convert_hf_whisper_encoder(model_name_or_state) -> Dict:
+    """HF WhisperModel state dict -> slm_encoder params."""
+    if isinstance(model_name_or_state, Mapping):
+        state = model_name_or_state
+    else:
+        from transformers import WhisperModel
+
+        state = WhisperModel.from_pretrained(model_name_or_state).state_dict()
+    enc = {k[len("encoder."):]: v for k, v in state.items() if k.startswith("encoder.")}
+    return nest(to_numpy_state(enc))
+
+
+def zoo_to_device(zoo: Mapping, dtype=None) -> Dict:
+    def conv(x):
+        a = jnp.asarray(x)
+        if dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
+            a = a.astype(dtype)
+        return a
+
+    return jax.tree_util.tree_map(conv, dict(zoo))
