@@ -1,0 +1,112 @@
+"""Benchmark: audio-seconds generated per second per chip (inverse RTF).
+
+Runs the flagship LJSpeech (iSTFTNet) inference path at full model size with
+5-step style diffusion on the default JAX device (the TPU under the driver),
+and a smaller CPU measurement of the same pipeline as the baseline proxy
+(torch-CPU eager is not runnable in this image — torchaudio/librosa are
+absent — and JAX-CPU compiled is an upper bound on torch-CPU eager, making
+the reported ratio conservative).
+
+Prints one JSON line:
+  {"metric": "audio_seconds_per_second_per_chip", "value": N,
+   "unit": "audio_s/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(engine_device=None):
+    import jax
+    import jax.numpy as jnp
+
+    from styletts2_tpu.config import ModelParams
+    from styletts2_tpu.infer import InferenceEngine
+    from styletts2_tpu.models.plbert import PLBertConfig
+    from styletts2_tpu.models.zoo import build_zoo
+
+    mp = ModelParams()
+    plbert = PLBertConfig()
+    zoo = build_zoo(jax.random.PRNGKey(0), mp, plbert, include_slm=False)
+    engine = InferenceEngine(zoo, mp, plbert)
+    return engine, mp
+
+
+def run_once(engine, mp, token_cap, frame_cap, steps, batch):
+    import jax
+    import jax.numpy as jnp
+
+    frontend_key = (token_cap, steps, 1.0, False, None, None)
+    if frontend_key not in engine._frontend_cache:
+        engine._frontend_cache[frontend_key] = engine._frontend_fn(
+            token_cap, steps, 1.0, use_ref=False)
+    frontend = engine._frontend_cache[frontend_key]
+    if (token_cap, frame_cap) not in engine._synth_cache:
+        engine._synth_cache[(token_cap, frame_cap)] = engine._synth_fn(token_cap, frame_cap)
+    synth = engine._synth_cache[(token_cap, frame_cap)]
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(4, 170, (batch, token_cap)), dtype=jnp.int32)
+    lengths = jnp.full((batch,), token_cap, dtype=jnp.int32)
+    noise = jnp.asarray(rng.standard_normal((batch, 1, mp.style_dim * 2)).astype(np.float32))
+    zeros = jnp.zeros((batch, mp.style_dim * 2))
+    key = jax.random.PRNGKey(0)
+
+    def full(zoo):
+        t_en, d, s, ref, s_out, pred_dur = frontend(
+            zoo, tokens, lengths, key, noise, zeros, zeros, jnp.float32(0.0))
+        # fixed frame capacity for stable benchmarking
+        pred_dur = jnp.minimum(pred_dur, frame_cap // token_cap)
+        return synth(zoo, t_en, d, s, ref, pred_dur, lengths)
+
+    # warmup/compile
+    wav = full(engine.zoo)
+    jax.block_until_ready(wav)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wav = full(engine.zoo)
+    jax.block_until_ready(wav)
+    dt = (time.perf_counter() - t0) / iters
+    audio_seconds = batch * wav.shape[-1] / 24000.0
+    return audio_seconds / dt, audio_seconds
+
+
+def main():
+    import jax
+
+    engine, mp = build()
+    platform = jax.devices()[0].platform
+    token_cap, frame_cap, steps, batch = 64, 400, 5, 4
+    value, audio_s = run_once(engine, mp, token_cap, frame_cap, steps, batch)
+
+    # CPU baseline proxy (same pipeline, CPU backend, smaller workload)
+    vs_baseline = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            cpu_engine, _ = build()
+            cpu_value, _ = run_once(cpu_engine, mp, token_cap, frame_cap, steps, 1)
+        vs_baseline = value / max(cpu_value, 1e-9)
+    except Exception as exc:  # pragma: no cover
+        print(f"# cpu baseline failed: {exc}", file=sys.stderr)
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(float(value), 3),
+        "unit": "audio_s/s",
+        "vs_baseline": round(float(vs_baseline), 3),
+        "platform": platform,
+        "audio_seconds_per_call": round(float(audio_s), 2),
+        "diffusion_steps": steps,
+        "batch": batch,
+    }))
+
+
+if __name__ == "__main__":
+    main()

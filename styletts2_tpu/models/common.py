@@ -89,15 +89,28 @@ def init_wn_linear(key, in_f, out_f, bias: bool = True) -> Dict:
 
 
 def init_sn_conv(key, in_ch, out_ch, kernel, groups: int = 1, bias: bool = True) -> Dict:
-    """Spectral-norm conv params with torch buffer names (u, v random-normalized)."""
+    """Spectral-norm conv params with torch buffer names.
+
+    The (u, v) power-iteration vectors are converged at init: random vectors
+    give a wildly wrong sigma estimate (possibly ~0), which blows up the
+    forward; torch avoids this by updating the buffers every training
+    forward.  Converged buffers also make eval-mode sigma correct.
+    """
     p = init_conv(key, in_ch, out_ch, kernel, groups, bias)
     w = p.pop("weight")
-    ku, kv = jax.random.split(jax.random.fold_in(key, 7))
+    ku = jax.random.fold_in(key, 7)
     u = jax.random.normal(ku, (w.shape[0],))
-    v = jax.random.normal(kv, (int(w.size // w.shape[0]),))
+    u = u / jnp.linalg.norm(u)
+    w_mat = w.reshape(w.shape[0], -1)
+    v = jnp.ones((w_mat.shape[1],)) / jnp.sqrt(w_mat.shape[1])
+    for _ in range(15):
+        v = w_mat.T @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u = w_mat @ v
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
     p["weight_orig"] = w
-    p["weight_u"] = u / jnp.linalg.norm(u)
-    p["weight_v"] = v / jnp.linalg.norm(v)
+    p["weight_u"] = u
+    p["weight_v"] = v
     return p
 
 
@@ -136,14 +149,30 @@ def wn_conv2d(p: Dict, x, **kw):
     return conv2d(x, weight_norm_kernel(p), p.get("bias"), **kw)
 
 
+def _sn_kernel(p: Dict) -> jnp.ndarray:
+    """Effective spectral-norm kernel with one stateless power iteration.
+
+    torch updates the stored (u, v) buffers every training forward; we
+    re-derive one refinement step from the stored buffers under
+    stop_gradient — identical gradients (torch treats u, v as constants) and,
+    for converged buffers (init or loaded checkpoints), a near-identical
+    sigma to torch's eval path.
+    """
+    frozen = {
+        "weight_orig": p["weight_orig"],
+        "weight_u": jax.lax.stop_gradient(p["weight_u"]),
+        "weight_v": jax.lax.stop_gradient(p["weight_v"]),
+    }
+    w, _ = spectral_norm_kernel(frozen, n_power_iterations=1)
+    return w
+
+
 def sn_conv2d(p: Dict, x, **kw):
-    w, _ = spectral_norm_kernel(p, n_power_iterations=0)
-    return conv2d(x, w, p.get("bias"), **kw)
+    return conv2d(x, _sn_kernel(p), p.get("bias"), **kw)
 
 
 def sn_conv1d(p: Dict, x, **kw):
-    w, _ = spectral_norm_kernel(p, n_power_iterations=0)
-    return conv1d(x, w, p.get("bias"), **kw)
+    return conv1d(x, _sn_kernel(p), p.get("bias"), **kw)
 
 
 def embedding(p: Dict, ids: jnp.ndarray) -> jnp.ndarray:

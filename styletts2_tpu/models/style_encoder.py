@@ -88,6 +88,12 @@ def style_encoder_apply(
     repeat_num: int = 4,
 ) -> jnp.ndarray:
     """Returns style vectors (B, style_dim)."""
+    # The 4x stride-2 stack + 5x5 valid conv needs >= 80 input frames
+    # (the reference skips shorter clips, ref: train_first.py:378-379).
+    if mel.shape[-1] < 5 * (2 ** repeat_num) or mel.shape[-2] < 5 * (2 ** repeat_num):
+        raise ValueError(
+            f"style encoder input {mel.shape} too small: needs >= "
+            f"{5 * (2 ** repeat_num)} mel bins and frames")
     shared = params["shared"]
     x = cm.sn_conv2d(shared["0"], mel, padding=1)
     for i in range(repeat_num):

@@ -1,0 +1,170 @@
+"""Training drivers — the ``train_first.py`` / ``train_second.py`` /
+``train_finetune.py`` equivalents (ref: SURVEY.md §2.5).
+
+The host loop owns epochs, data, bucketing decisions, checkpointing, and
+logging; each step runs as one jitted SPMD program on the mesh.  Static
+phase flags (TMA / diffusion / joint / SLM alternation) select among a small
+set of compiled step variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..parallel.mesh import make_mesh, replicate_params, shard_batch
+from .checkpoint import load_checkpoint, save_checkpoint
+from .optimizers import MultiOptimizer
+from .stage1 import Stage1Trainer
+from .stage2 import Stage2Trainer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Dict
+    opt_states: Dict
+    epoch: int = 0
+    iters: int = 0
+    sigma_data: float = 0.2
+
+
+def _clip_lengths(mel_lengths: np.ndarray, max_len: int) -> int:
+    """Static clip length for this batch: global min over the (host-visible)
+    batch, like the reference's gathered min (ref: train_first.py:348-350)."""
+    return max(2, min(int(mel_lengths.min()) // 2 - 1, max_len // 2))
+
+
+def _bucket(n: int, m: int = 4) -> int:
+    return max(m, (n // m) * m)
+
+
+def make_lr_map(cfg: Config) -> Dict[str, float]:
+    op = cfg.optimizer_params
+    return {"bert": op.bert_lr,
+            "decoder": op.ft_lr if cfg.pretrained_model else op.lr,
+            "style_encoder": op.ft_lr if cfg.pretrained_model else op.lr}
+
+
+def run_stage1(
+    cfg: Config,
+    configs: Dict,
+    zoo: Dict,
+    train_loader,
+    val_loader=None,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    log_cb: Optional[Callable[[int, Dict], None]] = None,
+) -> TrainState:
+    mesh = mesh or make_mesh()
+    opt = MultiOptimizer(zoo, make_lr_map(cfg), default_lr=cfg.optimizer_params.lr)
+    trainer = Stage1Trainer(cfg, configs, opt)
+    state = TrainState(replicate_params(zoo, mesh), None)
+    state.opt_states = replicate_params(opt.init(zoo), mesh)
+
+    steps_done = 0
+    key = jax.random.PRNGKey(0)
+    step_cache: Dict = {}
+    with mesh:
+        for epoch in range(cfg.epochs_1st):
+            tma = epoch >= cfg.loss_params.TMA_epoch
+            t0 = time.time()
+            for i, batch in enumerate(train_loader(epoch)):
+                mel_len = _bucket(_clip_lengths(batch["mel_input_length"], cfg.max_len))
+                if mel_len < 40:
+                    # style encoder needs >= 80 mel frames (ref: train_first.py:378-379)
+                    continue
+                skey = (tma, mel_len)
+                if skey not in step_cache:
+                    step_cache[skey] = trainer.make_step(tma, mel_len, mel_len)
+                out = step_cache[skey](state.params, state.opt_states,
+                                       shard_batch(batch, mesh),
+                                       jax.random.fold_in(key, state.iters))
+                state.params, state.opt_states = out.params, out.opt_states
+                state.iters += 1
+                steps_done += 1
+                if log_cb and state.iters % cfg.log_interval == 0:
+                    log_cb(state.iters, {k: float(v) for k, v in out.metrics.items()})
+                if max_steps and steps_done >= max_steps:
+                    return state
+            state.epoch = epoch + 1
+            logger.info("stage1 epoch %d done in %.1fs", epoch, time.time() - t0)
+            if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
+                save_checkpoint(os.path.join(cfg.log_dir, f"epoch_1st_{epoch:05d}.npz"),
+                                state.params, state.opt_states, epoch, state.iters)
+    if cfg.log_dir:
+        save_checkpoint(os.path.join(cfg.log_dir, cfg.first_stage_path),
+                        state.params, state.opt_states, state.epoch, state.iters)
+    return state
+
+
+def run_stage2(
+    cfg: Config,
+    configs: Dict,
+    zoo: Dict,
+    train_loader,
+    val_loader=None,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    finetune: bool = False,
+    log_cb: Optional[Callable[[int, Dict], None]] = None,
+) -> TrainState:
+    mesh = mesh or make_mesh()
+    opt = MultiOptimizer(zoo, make_lr_map(cfg), default_lr=cfg.optimizer_params.lr)
+    trainer = Stage2Trainer(cfg, configs, opt)
+    state = TrainState(replicate_params(zoo, mesh), None,
+                       sigma_data=cfg.model_params.diffusion.dist.sigma_data)
+    state.opt_states = replicate_params(opt.init(zoo), mesh)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    step_cache: Dict = {}
+    steps_done = 0
+    epochs = cfg.epochs if finetune else cfg.epochs_2nd
+    with mesh:
+        for epoch in range(epochs):
+            diff = finetune or epoch >= cfg.loss_params.diff_epoch
+            joint = finetune or epoch >= cfg.loss_params.joint_epoch
+            start_ds = finetune or epoch >= cfg.loss_params.diff_epoch
+            for i, batch in enumerate(train_loader(epoch)):
+                mel_len = _bucket(_clip_lengths(batch["mel_input_length"], cfg.max_len))
+                if mel_len < 40:
+                    continue
+                num_steps = int(rng.integers(3, 5))
+                run_disc = joint and ((i + 1) % cfg.slmadv_params.iter == 0)
+                use_ind = joint and bool(rng.random() < 0.5)
+                skey = (diff, joint, start_ds, mel_len, num_steps, run_disc, use_ind)
+                if skey not in step_cache:
+                    step_cache[skey] = trainer.make_step(
+                        diff, joint, start_ds, mel_len, mel_len, num_steps,
+                        slm_run_disc=run_disc, slm_use_ind=use_ind,
+                        slm_frame_capacity=_bucket(cfg.slmadv_params.max_len, 50),
+                        finetune=finetune)
+                out = step_cache[skey](state.params, state.opt_states,
+                                       shard_batch(batch, mesh),
+                                       jax.random.fold_in(key, state.iters),
+                                       jnp.float32(state.sigma_data))
+                state.params, state.opt_states = out.params, out.opt_states
+                state.sigma_data = float(out.sigma_data)
+                state.iters += 1
+                steps_done += 1
+                if log_cb and state.iters % cfg.log_interval == 0:
+                    log_cb(state.iters, {k: float(v) for k, v in out.metrics.items()})
+                if max_steps and steps_done >= max_steps:
+                    return state
+            state.epoch = epoch + 1
+            if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
+                tag = "ft" if finetune else "2nd"
+                save_checkpoint(os.path.join(cfg.log_dir, f"epoch_{tag}_{epoch:05d}.npz"),
+                                state.params, state.opt_states, epoch, state.iters,
+                                extra={"sigma_data": state.sigma_data})
+    return state
