@@ -1,0 +1,111 @@
+"""Pallas TPU kernel for the monotonic maximum-path DP.
+
+The scan-based implementation in ``ops.monotonic`` launches one XLA loop step
+per mel frame; this kernel runs the whole forward DP + backtrack for one
+batch element inside a single Pallas program with the score matrix resident
+in VMEM — no per-step kernel launches, no HBM traffic between steps.
+
+Grid: one program per batch element.  The time loop is a ``fori_loop`` whose
+body updates a (T_text,) row with a shift+max (VPU ops); backtracking runs as
+a second reverse ``fori_loop`` with the running text index in SMEM semantics
+(a scalar carried through the loop).
+
+Falls back to the scan implementation on non-TPU backends via
+``interpret=True`` under tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _kernel(values_ref, tlen_ref, mlen_ref, path_ref, v_scratch):
+    t_text = values_ref.shape[0]
+    t_mel = values_ref.shape[1]
+    text_len = tlen_ref[0]
+    mel_len = mlen_ref[0]
+
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (t_text, 1), 0)[:, 0]
+    valid_x = x_idx < text_len
+
+    # ---- forward DP: v_scratch[:, y] = best cumulative score ----
+    def fwd_body(y, prev_row):
+        col = values_ref[:, y]
+        stay = prev_row
+        advance = pltpu.roll(prev_row, 1, 0)
+        advance = jnp.where(x_idx == 0, NEG_INF, advance)
+        stay = jnp.where(x_idx == y, NEG_INF, stay)
+        best = jnp.maximum(stay, advance)
+        best = jnp.where((y == 0) & (x_idx == 0), 0.0, best)
+        best = jnp.where(x_idx > y, NEG_INF, best)
+        row = jnp.where(valid_x, best + col, NEG_INF)
+        v_scratch[:, y] = row
+        return row
+
+    init = jnp.full((t_text,), NEG_INF, jnp.float32)
+    jax.lax.fori_loop(0, t_mel, fwd_body, init)
+
+    # ---- backtrack ----
+    path_ref[...] = jnp.zeros((t_text, t_mel), jnp.float32)
+
+    def bwd_body(i, idx):
+        y = t_mel - 1 - i
+        at_end = y == mel_len - 1
+        idx = jnp.where(at_end, text_len - 1, idx)
+        active = y < mel_len
+
+        @pl.when(active)
+        def _():
+            onehot = (x_idx == idx).astype(jnp.float32)
+            path_ref[:, y] = onehot
+
+        v_prev = jax.lax.cond(
+            y > 0,
+            lambda: v_scratch[:, y - 1],
+            lambda: jnp.full((t_text,), NEG_INF, jnp.float32),
+        )
+        v_at = jnp.sum(jnp.where(x_idx == idx, v_prev, 0.0))
+        v_left = jnp.sum(jnp.where(x_idx == jnp.maximum(idx - 1, 0), v_prev, 0.0))
+        move = (idx != 0) & ((idx == y) | (v_at < v_left)) & active
+        return jnp.where(move, idx - 1, idx)
+
+    jax.lax.fori_loop(0, t_mel, bwd_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maximum_path_pallas(
+    values: jnp.ndarray,        # (B, T_text, T_mel) float32
+    text_lengths: jnp.ndarray,  # (B,) int32
+    mel_lengths: jnp.ndarray,   # (B,) int32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, t_text, t_mel = values.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, t_text, t_mel), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, t_text, t_mel), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((t_text, t_mel), jnp.float32)],
+    )
+
+    def kernel(tlens, mlens, vals, path, scratch):
+        i = pl.program_id(0)
+        _kernel(vals, tlens[pl.ds(i, 1)], mlens[pl.ds(i, 1)], path, scratch)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t_text, t_mel), jnp.float32),
+        interpret=interpret,
+    )(text_lengths.astype(jnp.int32), mel_lengths.astype(jnp.int32),
+      values.astype(jnp.float32))
