@@ -73,6 +73,9 @@ def stft(
 
     Matches ``torch.stft(..., return_complex=True)`` with default arguments.
     """
+    # FFTs and windowing stay in float32 regardless of the surrounding
+    # compute dtype (bf16 phase/spectral math audibly degrades output).
+    x = x.astype(jnp.float32)
     if window is None:
         window = hann_window(win_length, x.dtype)
     window = _padded_window(window, n_fft)

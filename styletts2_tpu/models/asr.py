@@ -47,6 +47,19 @@ class ASRConfig:
     sos: int = 1
     unk_index: int = 3
     random_mask: float = 0.1
+    # Optional fork-added multi-task heads (ref: Utils/ASR/models.py:49-134,
+    # 202-327); all default off, matching the shipped checkpoints.
+    intermediate_ctc_layers: tuple = ()
+    self_conditioned_layers: tuple = ()
+    enable_frame_classifier: bool = False
+    frame_num_classes: int = 0
+    enable_speaker: bool = False
+    num_speakers: int = 0
+    speaker_embedding_dim: int = 0
+    enable_pron_error: bool = False
+    pron_error_classes: int = 2
+    # Sample-wise stochastic depth on encoder stages (ref: models.py:12-46)
+    stochastic_depth_rate: float = 0.0
 
 
 @functools.lru_cache(maxsize=None)
@@ -122,6 +135,53 @@ def init_asr(key, cfg: ASRConfig = ASRConfig()) -> Dict:
             "block": _init_conv_block(ks[next(ki)], h),
             "post_norm": {"weight": jnp.ones((h,)), "bias": jnp.zeros((h,))},
         }
+
+    # optional multi-task heads (ref: Utils/ASR/models.py:202-327)
+    if cfg.intermediate_ctc_layers:
+        params["intermediate_ctc_heads"] = {}
+        proj = max(1, h // 2)
+        for li in cfg.intermediate_ctc_layers:
+            k = jax.random.fold_in(key, 300 + li)
+            params["intermediate_ctc_heads"][str(li)] = {"layers": {
+                "0": _init_conv_norm(jax.random.fold_in(k, 0), h, proj),
+                "3": _init_conv_norm(jax.random.fold_in(k, 1), proj, cfg.n_token),
+            }}
+    if cfg.self_conditioned_layers:
+        params["self_conditioning_blocks"] = {}
+        proj = max(1, h // 2)
+        for li in cfg.self_conditioned_layers:
+            k = jax.random.fold_in(key, 400 + li)
+            params["self_conditioning_blocks"][str(li)] = {
+                "predictor": {
+                    "0": _init_conv_norm(jax.random.fold_in(k, 0), h, h),
+                    "3": _init_conv_norm(jax.random.fold_in(k, 1), h, proj),
+                    "6": _init_conv_norm(jax.random.fold_in(k, 2), proj, cfg.n_token),
+                },
+                "condition_projector": {
+                    "1": _init_conv_norm(jax.random.fold_in(k, 3), cfg.n_token, h),
+                },
+            }
+    if cfg.enable_frame_classifier:
+        n_cls = cfg.frame_num_classes or cfg.n_token
+        k = jax.random.fold_in(key, 500)
+        params["frame_classifier"] = {
+            "0": _init_linear_norm(jax.random.fold_in(k, 0), h // 2, h // 2),
+            "2": _init_linear_norm(jax.random.fold_in(k, 1), h // 2, n_cls),
+        }
+    if cfg.enable_speaker:
+        emb_dim = cfg.speaker_embedding_dim or h // 2
+        k = jax.random.fold_in(key, 600)
+        params["speaker_projection"] = cm.init_linear(jax.random.fold_in(k, 0), h // 2, emb_dim)
+        params["speaker_norm"] = {"weight": jnp.ones((emb_dim,)), "bias": jnp.zeros((emb_dim,))}
+        params["speaker_classifier"] = cm.init_linear(
+            jax.random.fold_in(k, 1), emb_dim, max(1, cfg.num_speakers))
+    if cfg.enable_pron_error:
+        k = jax.random.fold_in(key, 700)
+        params["pron_error_head"] = {
+            "0": _init_linear_norm(jax.random.fold_in(k, 0), h // 2, h // 2),
+            "2": _init_linear_norm(jax.random.fold_in(k, 1), h // 2,
+                                   max(2, cfg.pron_error_classes)),
+        }
     d = h // 2
     tanh_gain = 5.0 / 3.0
     emb_range = math.sqrt(6.0 / d)
@@ -191,16 +251,49 @@ def _conv_block(p: Dict, x: jnp.ndarray, train: bool, rng, dropout_p: float = 0.
 
 
 def asr_encode(params: Dict, mels: jnp.ndarray, cfg: ASRConfig = ASRConfig(),
-               train: bool = False, rng=None) -> jnp.ndarray:
-    """Mel (B, 80, T) -> encoder features (B, T//2, hidden//2)."""
+               train: bool = False, rng=None, aux: Optional[Dict] = None) -> jnp.ndarray:
+    """Mel (B, 80, T) -> encoder features (B, T//2, hidden//2).
+
+    When enabled in ``cfg``, intermediate-CTC and self-conditioned-CTC blocks
+    tap/condition the encoder between stages and their logits are written
+    into ``aux`` (ref: Utils/ASR/models.py:424-458).
+    """
     dct = jnp.asarray(_dct_matrix(cfg.n_mfcc, cfg.input_dim))
     mfcc = jnp.swapaxes(jnp.swapaxes(mels, 1, 2) @ dct, 1, 2)   # (B, 40, T)
     x = _conv_norm(params["init_cnn"], mfcc, stride=2, padding=3)
-    for i in range(cfg.n_layers):
+    n = cfg.n_layers
+    for i in range(n):
         layer = params["encoder_layers"][str(i)]
         r = jax.random.fold_in(rng, 100 + i) if rng is not None else None
-        x = _conv_block(layer["block"], x, train, r)
-        x = _group_norm(x, 1, layer["post_norm"]["weight"], layer["post_norm"]["bias"])
+        y = _conv_block(layer["block"], x, train, r)
+        y = _group_norm(y, 1, layer["post_norm"]["weight"], layer["post_norm"]["bias"])
+        if cfg.stochastic_depth_rate > 0 and train and rng is not None:
+            # linear per-layer schedule, sample-wise (ref: models.py:12-46, 329-343)
+            drop = cfg.stochastic_depth_rate * ((i) / max(1, n - 1))
+            keep = 1.0 - drop
+            gate = jax.random.bernoulli(jax.random.fold_in(rng, 200 + i),
+                                        keep, (x.shape[0], 1, 1))
+            y = x + (y - x) / keep * gate
+        x = y
+        layer_idx = i + 1
+        if aux is not None and str(layer_idx) in params.get("intermediate_ctc_heads", {}):
+            head = params["intermediate_ctc_heads"][str(layer_idx)]["layers"]
+            hmid = jax.nn.gelu(_conv_norm(head["0"], x), approximate=False)
+            logits = _conv_norm(head["3"], hmid)
+            aux.setdefault("intermediate_ctc_logits", {})[str(layer_idx)] = \
+                jnp.swapaxes(logits, 1, 2)
+        if str(layer_idx) in params.get("self_conditioning_blocks", {}):
+            blk = params["self_conditioning_blocks"][str(layer_idx)]
+            p1 = jax.nn.gelu(_conv_norm(blk["predictor"]["0"], x), approximate=False)
+            p2 = jax.nn.gelu(_conv_norm(blk["predictor"]["3"], p1), approximate=False)
+            logits = _conv_norm(blk["predictor"]["6"], p2)
+            log_probs = jax.nn.log_softmax(logits, axis=1)
+            cond = _conv_norm(blk["condition_projector"]["1"],
+                              jax.lax.stop_gradient(jnp.exp(log_probs)))
+            x = x + cond
+            if aux is not None:
+                aux.setdefault("self_conditioned_ctc_logits", {})[str(layer_idx)] = \
+                    jnp.swapaxes(logits, 1, 2)
     x = _conv_norm(params["projection"], x)
     return jnp.swapaxes(x, 1, 2)
 
@@ -285,8 +378,10 @@ def asr_apply(
     rng=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full aligner forward (ref: Utils/ASR/models.py:377-535); returns the
-    dict keys the training drivers consume: ctc_logits, s2s_logits, s2s_attn."""
-    memory = asr_encode(params, mels, cfg, train, rng)
+    dict keys the training drivers consume (ctc_logits, s2s_logits, s2s_attn)
+    plus any enabled multi-task head outputs."""
+    out: Dict[str, jnp.ndarray] = {}
+    memory = asr_encode(params, mels, cfg, train, rng, aux=out)
     cl = params["ctc_linear"]
     h = jax.nn.relu(linear(memory, cl["0"]["linear_layer"]["weight"],
                            cl["0"]["linear_layer"]["bias"]))
@@ -294,10 +389,41 @@ def asr_apply(
                         cl["2"]["linear_layer"]["bias"])
     hidden, s2s_logits, s2s_attn = asr_s2s_apply(
         params, memory, memory_pad_mask, text, cfg, train, rng)
-    return {
+    out.update({
         "ctc_logits": ctc_logits,
         "encoder_features": memory,
         "s2s_hidden": hidden,
         "s2s_logits": s2s_logits,
         "s2s_attn": s2s_attn,
-    }
+    })
+    if cfg.enable_frame_classifier and "frame_classifier" in params:
+        fc = params["frame_classifier"]
+        fh = jax.nn.relu(linear(memory, fc["0"]["linear_layer"]["weight"],
+                                fc["0"]["linear_layer"]["bias"]))
+        out["frame_phoneme_logits"] = linear(fh, fc["2"]["linear_layer"]["weight"],
+                                             fc["2"]["linear_layer"]["bias"])
+    if cfg.enable_speaker and "speaker_projection" in params:
+        pooled = memory.mean(axis=1)
+        emb = jnp.tanh(linear(pooled, params["speaker_projection"]["weight"],
+                              params["speaker_projection"]["bias"]))
+        from ..nn.norm import layer_norm
+        emb = layer_norm(emb, params["speaker_norm"]["weight"],
+                         params["speaker_norm"]["bias"])
+        out["speaker_embeddings"] = emb
+        out["speaker_logits"] = linear(emb, params["speaker_classifier"]["weight"],
+                                       params["speaker_classifier"]["bias"])
+    if cfg.enable_pron_error and "pron_error_head" in params:
+        ph = params["pron_error_head"]
+        # drop the SOS step (ref: Utils/ASR/models.py:518-525)
+        pron_in = hidden[:, 1:, :] if hidden.shape[1] > 1 else hidden
+        hmid = jax.nn.relu(linear(pron_in, ph["0"]["linear_layer"]["weight"],
+                                  ph["0"]["linear_layer"]["bias"]))
+        out["pron_error_logits"] = linear(hmid, ph["2"]["linear_layer"]["weight"],
+                                          ph["2"]["linear_layer"]["bias"])
+    if "duration_predictor" in params:
+        dp = params["duration_predictor"]
+        emb = cm.embedding(dp["0"], text)
+        dh = jax.nn.relu(emb)
+        out["duration_predictions"] = jax.nn.softplus(
+            linear(dh, dp["2"]["weight"], dp["2"]["bias"]))
+    return out

@@ -40,6 +40,9 @@ def sine_gen(
     deterministic: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (sine_waves, uv, noise), each (B, T_audio, harmonic_num+1[|1])."""
+    # Phase integration must run in float32: a bf16 cumsum over tens of
+    # thousands of samples destroys pitch accuracy.
+    f0 = f0.astype(jnp.float32)
     b, t, _ = f0.shape
     dim = harmonic_num + 1
     harmonics = jnp.arange(1, dim + 1, dtype=f0.dtype)

@@ -65,6 +65,37 @@ def resblk_apply(p: Dict, x: jnp.ndarray, downsample: bool = True) -> jnp.ndarra
     return (sc + h) / math.sqrt(2.0)
 
 
+def init_discriminator2d(key, dim_in: int = 48, num_domains: int = 1,
+                         max_conv_dim: int = 384, repeat_num: int = 4) -> Dict:
+    """The unused spare 2-D discriminator kept for checkpoint compatibility
+    (ref: models.py:243-273)."""
+    ks = jax.random.split(key, repeat_num + 3)
+    main: Dict = {"0": cm.init_sn_conv(ks[0], 1, dim_in, (3, 3))}
+    d = dim_in
+    for i in range(repeat_num):
+        d_out = min(d * 2, max_conv_dim)
+        main[str(i + 1)] = init_resblk(ks[i + 1], d, d_out)
+        d = d_out
+    main["6"] = cm.init_sn_conv(ks[-2], d, d, (5, 5))
+    main["9"] = cm.init_sn_conv(ks[-1], d, num_domains, (1, 1))
+    return {"main": main}
+
+
+def discriminator2d_apply(params: Dict, x: jnp.ndarray,
+                          repeat_num: int = 4) -> jnp.ndarray:
+    """Returns (B, num_domains) scores (ref: models.py:261-273)."""
+    main = params["main"]
+    h = cm.sn_conv2d(main["0"], x, padding=1)
+    for i in range(repeat_num):
+        h = resblk_apply(main[str(i + 1)], h)
+    h = cm.leaky_relu(h, 0.2)
+    h = cm.sn_conv2d(main["6"], h)
+    h = cm.leaky_relu(h, 0.2)
+    h = h.mean(axis=(2, 3), keepdims=True)
+    h = cm.sn_conv2d(main["9"], h)
+    return h.reshape(h.shape[0], -1)
+
+
 def init_style_encoder(key, dim_in: int = 64, style_dim: int = 128,
                        max_conv_dim: int = 512, repeat_num: int = 4) -> Dict:
     ks = jax.random.split(key, repeat_num + 3)
