@@ -53,6 +53,7 @@ class InferenceEngine:
     token_bucket: int = 32
     frame_bucket: int = 100
     last_token_pad: int = 5        # LJSpeech demo: pred_dur[-1] += 5
+    input_sharding: object = None  # optional NamedSharding for batch inputs
 
     def __post_init__(self):
         self._frontend_cache: Dict = {}
@@ -179,6 +180,9 @@ class InferenceEngine:
             noise = jax.random.normal(k_noise, (b, 1, self.model_params.style_dim * 2))
         else:
             noise = jnp.asarray(noise)
+        if self.input_sharding is not None:
+            tokens = jax.device_put(tokens, self.input_sharding)
+            noise = jax.device_put(noise, self.input_sharding)
 
         use_ref = ref_s is not None
         self._alpha, self._beta = alpha, beta
