@@ -78,10 +78,22 @@ def run_once(engine, mp, token_cap, frame_cap, steps, batch):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     engine, mp = build()
     platform = jax.devices()[0].platform
-    token_cap, frame_cap, steps, batch = 64, 400, 5, 4
+    token_cap, frame_cap, steps = 64, 400, 5
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+
+    if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" and platform == "tpu":
+        from styletts2_tpu.utils import cast_pytree
+
+        engine.zoo = cast_pytree(engine.zoo, jnp.bfloat16)
+        engine.compute_dtype = jnp.bfloat16
+        dtype = "bf16"
+    else:
+        dtype = "fp32"
+
     value, audio_s = run_once(engine, mp, token_cap, frame_cap, steps, batch)
 
     # CPU baseline proxy (same pipeline, CPU backend, smaller workload)
@@ -102,6 +114,7 @@ def main():
         "unit": "audio_s/s",
         "vs_baseline": round(float(vs_baseline), 3),
         "platform": platform,
+        "dtype": dtype,
         "audio_seconds_per_call": round(float(audio_s), 2),
         "diffusion_steps": steps,
         "batch": batch,

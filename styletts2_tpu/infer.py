@@ -54,6 +54,7 @@ class InferenceEngine:
     frame_bucket: int = 100
     last_token_pad: int = 5        # LJSpeech demo: pred_dur[-1] += 5
     input_sharding: object = None  # optional NamedSharding for batch inputs
+    compute_dtype: object = None   # e.g. jnp.bfloat16 for MXU-rate serving
 
     def __post_init__(self):
         self._frontend_cache: Dict = {}
@@ -129,8 +130,13 @@ class InferenceEngine:
         decoder_mod = istftnet if mp.decoder.type == "istftnet" else hifigan
 
         def fn(zoo, t_en, d, s, ref, pred_dur, lengths):
+            if self.compute_dtype is not None:
+                # vocoder runs at MXU bf16 rate; STFT/phase paths re-pin fp32
+                t_en, d, s, ref = (x.astype(self.compute_dtype) for x in (t_en, d, s, ref))
             token_mask = (jnp.arange(length)[None, :] < lengths[:, None]).astype(jnp.float32)
             aln = hard_alignment(pred_dur, t_mel, token_mask)
+            if self.compute_dtype is not None:
+                aln = aln.astype(self.compute_dtype)
             en = jnp.swapaxes(d, 1, 2) @ aln
             asr = t_en @ aln
             if mp.decoder.type == "hifigan":

@@ -5,13 +5,13 @@ per mel frame; this kernel runs the whole forward DP + backtrack for one
 batch element inside a single Pallas program with the score matrix resident
 in VMEM — no per-step kernel launches, no HBM traffic between steps.
 
-Grid: one program per batch element.  The time loop is a ``fori_loop`` whose
-body updates a (T_text,) row with a shift+max (VPU ops); backtracking runs as
-a second reverse ``fori_loop`` with the running text index in SMEM semantics
-(a scalar carried through the loop).
+Memory layout is time-major (t_mel, t_text): every dynamic access inside the
+time loop is then a *row* (sublane index) with the text axis contiguous in
+lanes — the access pattern Mosaic vectorizes well.  Dynamic lane indexing
+(column reads/writes) must be avoided on TPU.
 
-Falls back to the scan implementation on non-TPU backends via
-``interpret=True`` under tests.
+Grid: one program per batch element.  Falls back to interpret mode for
+CPU tests.
 """
 
 from __future__ import annotations
@@ -26,49 +26,47 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _kernel(values_ref, tlen_ref, mlen_ref, path_ref, v_scratch):
-    t_text = values_ref.shape[0]
-    t_mel = values_ref.shape[1]
-    text_len = tlen_ref[0]
-    mel_len = mlen_ref[0]
+def _kernel(tlens, mlens, values_ref, path_ref, v_scratch):
+    """values_ref/path_ref/v_scratch: (t_mel, t_text) for one batch element."""
+    i = pl.program_id(0)
+    text_len = tlens[i]
+    mel_len = mlens[i]
+    t_mel = values_ref.shape[0]
+    t_text = values_ref.shape[1]
 
-    x_idx = jax.lax.broadcasted_iota(jnp.int32, (t_text, 1), 0)[:, 0]
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t_text), 1)[0]
     valid_x = x_idx < text_len
 
-    # ---- forward DP: v_scratch[:, y] = best cumulative score ----
     def fwd_body(y, prev_row):
-        col = values_ref[:, y]
-        stay = prev_row
+        col = values_ref[y, :]
+        stay = jnp.where(x_idx == y, NEG_INF, prev_row)
         advance = pltpu.roll(prev_row, 1, 0)
         advance = jnp.where(x_idx == 0, NEG_INF, advance)
-        stay = jnp.where(x_idx == y, NEG_INF, stay)
         best = jnp.maximum(stay, advance)
         best = jnp.where((y == 0) & (x_idx == 0), 0.0, best)
         best = jnp.where(x_idx > y, NEG_INF, best)
         row = jnp.where(valid_x, best + col, NEG_INF)
-        v_scratch[:, y] = row
+        v_scratch[y, :] = row
         return row
 
     init = jnp.full((t_text,), NEG_INF, jnp.float32)
     jax.lax.fori_loop(0, t_mel, fwd_body, init)
 
-    # ---- backtrack ----
-    path_ref[...] = jnp.zeros((t_text, t_mel), jnp.float32)
+    path_ref[...] = jnp.zeros((t_mel, t_text), jnp.float32)
 
-    def bwd_body(i, idx):
-        y = t_mel - 1 - i
+    def bwd_body(step, idx):
+        y = t_mel - 1 - step
         at_end = y == mel_len - 1
         idx = jnp.where(at_end, text_len - 1, idx)
         active = y < mel_len
 
         @pl.when(active)
         def _():
-            onehot = (x_idx == idx).astype(jnp.float32)
-            path_ref[:, y] = onehot
+            path_ref[y, :] = (x_idx == idx).astype(jnp.float32)
 
         v_prev = jax.lax.cond(
             y > 0,
-            lambda: v_scratch[:, y - 1],
+            lambda: v_scratch[jnp.maximum(y - 1, 0), :],
             lambda: jnp.full((t_text,), NEG_INF, jnp.float32),
         )
         v_at = jnp.sum(jnp.where(x_idx == idx, v_prev, 0.0))
@@ -87,25 +85,22 @@ def maximum_path_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, t_text, t_mel = values.shape
+    values_tm = jnp.swapaxes(values, 1, 2).astype(jnp.float32)  # (B, T_mel, T_text)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((None, t_text, t_mel), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((None, t_mel, t_text), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, t_text, t_mel), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((t_text, t_mel), jnp.float32)],
+        out_specs=pl.BlockSpec((None, t_mel, t_text), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((t_mel, t_text), jnp.float32)],
     )
 
-    def kernel(tlens, mlens, vals, path, scratch):
-        i = pl.program_id(0)
-        _kernel(vals, tlens[pl.ds(i, 1)], mlens[pl.ds(i, 1)], path, scratch)
-
-    return pl.pallas_call(
-        kernel,
+    path_tm = pl.pallas_call(
+        _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t_text, t_mel), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t_mel, t_text), jnp.float32),
         interpret=interpret,
-    )(text_lengths.astype(jnp.int32), mel_lengths.astype(jnp.int32),
-      values.astype(jnp.float32))
+    )(text_lengths.astype(jnp.int32), mel_lengths.astype(jnp.int32), values_tm)
+    return jnp.swapaxes(path_tm, 1, 2)
