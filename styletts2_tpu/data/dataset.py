@@ -64,19 +64,10 @@ def _read_wav(path: str) -> Tuple[np.ndarray, int]:
 def _resample_np(wave: np.ndarray, orig: int, new: int) -> np.ndarray:
     if orig == new:
         return wave
-    from ..audio.resample import _sinc_kernel
+    # native C++ polyphase kernel when built, numpy fallback otherwise
+    from ..native import resample_host
 
-    kernels, width, o, n = _sinc_kernel(orig, new)
-    x = np.pad(wave, (width, width + o))
-    frames = (len(x) - kernels.shape[1]) // o + 1
-    out = np.zeros((frames, kernels.shape[0]), np.float32)
-    for ph in range(kernels.shape[0]):
-        k = kernels[ph]
-        strided = np.lib.stride_tricks.sliding_window_view(x, len(k))[::o]
-        out[: len(strided), ph] = strided @ k
-    out = out.reshape(-1)
-    target = int(np.ceil(new * len(wave) / orig))
-    return out[:target]
+    return resample_host(wave, orig, new)
 
 
 @dataclasses.dataclass

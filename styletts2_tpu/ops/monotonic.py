@@ -84,3 +84,14 @@ def maximum_path(
     _, rows = jax.lax.scan(bwd, jnp.zeros((b,), jnp.int32), (ys, v_prev_cols))
     path = jnp.swapaxes(rows[::-1], 0, 1).swapaxes(1, 2)      # (B, T_text, T_mel)
     return path.astype(values.dtype)
+
+
+def maximum_path_auto(values, text_lengths, mel_lengths):
+    """Backend-dispatching maximum path: the Pallas kernel on TPU (two
+    orders of magnitude faster to compile than the unrolled scan pair, same
+    runtime), the scan DP elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .pallas.monotonic_kernel import maximum_path_pallas
+
+        return maximum_path_pallas(values, text_lengths, mel_lengths).astype(values.dtype)
+    return maximum_path(values, text_lengths, mel_lengths)

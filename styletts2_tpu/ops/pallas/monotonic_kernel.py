@@ -34,22 +34,24 @@ def _kernel(tlens, mlens, values_ref, path_ref, v_scratch):
     t_mel = values_ref.shape[0]
     t_text = values_ref.shape[1]
 
-    x_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t_text), 1)[0]
+    # Rows are kept 2D (1, t_text): Mosaic's dynamic rotate (roll) does not
+    # support 1D vectors.
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t_text), 1)
     valid_x = x_idx < text_len
 
     def fwd_body(y, prev_row):
-        col = values_ref[y, :]
+        col = values_ref[pl.ds(y, 1), :]
         stay = jnp.where(x_idx == y, NEG_INF, prev_row)
-        advance = pltpu.roll(prev_row, 1, 0)
+        advance = pltpu.roll(prev_row, 1, 1)
         advance = jnp.where(x_idx == 0, NEG_INF, advance)
         best = jnp.maximum(stay, advance)
         best = jnp.where((y == 0) & (x_idx == 0), 0.0, best)
         best = jnp.where(x_idx > y, NEG_INF, best)
         row = jnp.where(valid_x, best + col, NEG_INF)
-        v_scratch[y, :] = row
+        v_scratch[pl.ds(y, 1), :] = row
         return row
 
-    init = jnp.full((t_text,), NEG_INF, jnp.float32)
+    init = jnp.full((1, t_text), NEG_INF, jnp.float32)
     jax.lax.fori_loop(0, t_mel, fwd_body, init)
 
     path_ref[...] = jnp.zeros((t_mel, t_text), jnp.float32)
@@ -62,13 +64,10 @@ def _kernel(tlens, mlens, values_ref, path_ref, v_scratch):
 
         @pl.when(active)
         def _():
-            path_ref[y, :] = (x_idx == idx).astype(jnp.float32)
+            path_ref[pl.ds(y, 1), :] = (x_idx == idx).astype(jnp.float32)
 
-        v_prev = jax.lax.cond(
-            y > 0,
-            lambda: v_scratch[jnp.maximum(y - 1, 0), :],
-            lambda: jnp.full((t_text,), NEG_INF, jnp.float32),
-        )
+        v_prev = v_scratch[pl.ds(jnp.maximum(y - 1, 0), 1), :]
+        v_prev = jnp.where(y > 0, v_prev, NEG_INF)
         v_at = jnp.sum(jnp.where(x_idx == idx, v_prev, 0.0))
         v_left = jnp.sum(jnp.where(x_idx == jnp.maximum(idx - 1, 0), v_prev, 0.0))
         move = (idx != 0) & ((idx == y) | (v_at < v_left)) & active

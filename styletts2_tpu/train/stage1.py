@@ -38,7 +38,7 @@ from ..models.jdc import JDCConfig, jdc_apply
 from ..models.style_encoder import style_encoder_apply
 from ..models.text_encoder import text_encoder_apply
 from ..models.whisper import WhisperConfig
-from ..ops.monotonic import maximum_path
+from ..ops.monotonic import maximum_path_auto
 from .optimizers import MultiOptimizer
 
 HOP = 300
@@ -87,7 +87,7 @@ def compute_alignment(
     attn_mask = text_keep[:, :, None] & mel_keep[:, None, :]
     s2s_attn = s2s_attn * attn_mask
 
-    s2s_attn_mono = maximum_path(s2s_attn, text_lengths, mel_len_down)
+    s2s_attn_mono = maximum_path_auto(s2s_attn, text_lengths, mel_len_down)
     return ppgs, s2s_pred, s2s_attn, s2s_attn_mono
 
 
