@@ -27,6 +27,13 @@ IntOrPair = Union[int, Tuple[int, int]]
 def _pair(v: IntOrPair) -> Tuple[int, int]:
     return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
 
+def _match_dtypes(x, w):
+    """Promote activation/kernel to a common dtype (bf16 kernels meeting
+    fp32-pinned activations promote to fp32; lax.conv requires equal dtypes)."""
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    return x.astype(dt), w.astype(dt)
+
+
 
 def conv1d(
     x: jnp.ndarray,
@@ -39,6 +46,7 @@ def conv1d(
     precision=None,
 ) -> jnp.ndarray:
     pad = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    x, w = _match_dtypes(x, w)
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
@@ -69,6 +77,7 @@ def conv2d(
         pad = ((padding[0], padding[0]), (padding[1], padding[1]))
     else:
         pad = tuple(padding)
+    x, w = _match_dtypes(x, w)
     y = lax.conv_general_dilated(
         x, w,
         window_strides=_pair(stride),
@@ -114,6 +123,7 @@ def conv_transpose1d(
     with ``output_padding`` appended on the right.
     """
     k = w.shape[-1]
+    x, w = _match_dtypes(x, w)
     w2 = _transpose_kernel(w, groups)
     pad_lo = dilation * (k - 1) - padding
     pad_hi = pad_lo + output_padding
@@ -144,6 +154,7 @@ def conv_transpose2d(
     precision=None,
 ) -> jnp.ndarray:
     kh, kw = w.shape[-2], w.shape[-1]
+    x, w = _match_dtypes(x, w)
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)
