@@ -215,7 +215,9 @@ class InferenceEngine:
         wav = np.asarray(wav)
 
         outs = []
-        samples_per_frame = 300
+        # durations are at the en rate (mel/2): the decoder upsamples 2x to
+        # mel rate then 300x to audio, i.e. 600 samples per duration frame
+        samples_per_frame = 600
         for i in range(b):
             n = int(frames[i]) * samples_per_frame
             w = wav[i, :n]

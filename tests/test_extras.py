@@ -98,3 +98,24 @@ def test_utils():
     tree = {"a": jnp.ones(3), "b": jnp.array([1, 2])}
     out = cast_pytree(tree, jnp.bfloat16)
     assert out["a"].dtype == jnp.bfloat16 and out["b"].dtype == tree["b"].dtype
+
+
+def test_generate_training_samples(tmp_path):
+    import numpy as np
+    from styletts2_tpu.testing import tiny_zoo
+    from styletts2_tpu.train.samples import generate_samples
+
+    zoo, cfgs = tiny_zoo(include_slm=False)
+    rng = np.random.default_rng(0)
+    b, frames, t_text = 2, 96, 10
+    batch = {
+        "waves": (rng.standard_normal((b, frames * 300)) * 0.1).astype(np.float32),
+        "texts": rng.integers(4, 170, (b, t_text)).astype(np.int32),
+        "input_lengths": np.array([t_text, t_text - 2], np.int32),
+        "mel_input_length": np.array([frames, frames - 6], np.int32),
+    }
+    out = str(tmp_path / "samples")
+    generate_samples(zoo, cfgs, batch, out, frame_capacity=100)
+    import os
+    files = sorted(os.listdir(out))
+    assert "0_gt.wav" in files and "0_rec.wav" in files and "0_pred.wav" in files
