@@ -31,7 +31,8 @@ def build(engine_device=None):
 
     mp = ModelParams()
     plbert = PLBertConfig()
-    zoo = build_zoo(jax.random.PRNGKey(0), mp, plbert, include_slm=False)
+    zoo = jax.jit(lambda k: build_zoo(k, mp, plbert, include_slm=False))(
+        jax.random.PRNGKey(0))
     engine = InferenceEngine(zoo, mp, plbert)
     return engine, mp
 

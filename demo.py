@@ -64,7 +64,8 @@ def main():
     from styletts2_tpu.utils import cast_pytree, rtf
 
     cfg = load_config(args.config)
-    zoo = build_zoo(jax.random.PRNGKey(0), cfg.model_params, include_slm=False)
+    zoo = jax.jit(lambda k: build_zoo(k, cfg.model_params, include_slm=False))(
+        jax.random.PRNGKey(0))
     sigma_data = cfg.model_params.diffusion.dist.sigma_data
     if args.ckpt:
         if args.ckpt.endswith(".pth"):

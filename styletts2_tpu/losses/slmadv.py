@@ -61,10 +61,15 @@ def slm_adversarial(
     use_ind_style: bool,             # static: use s_trg instead of sampling
     run_discriminator: bool,         # static: every `iter` steps
     frame_capacity: int,             # static Gaussian-alignment frame budget
+    mel_len: Optional[int] = None,   # static clip length in en-frames
 ) -> SlmAdvOut:
     b, length = ref_texts.shape
     style_dim = mp.style_dim
-    mel_len = adv.min_len // 2      # static clip length in en-frames
+    # clip length: the reference's min_len (mel frames) bounded by what the
+    # batch actually provides (ref: slmadv.py:154-155 min/max clamp)
+    if mel_len is None:
+        mel_len = adv.min_len // 2
+    mel_len = min(mel_len, adv.max_len // 2)
     text_mask_pad = cm.length_to_mask(ref_lengths, length)
 
     bert_dur = plbert_apply(zoo["bert"], ref_texts, (~text_mask_pad).astype(jnp.int32),

@@ -316,7 +316,8 @@ class Stage2Trainer:
                 aux["ref_style"] if multispeaker else None,
                 num_steps=num_diff_steps, use_ind_style=slm_use_ind,
                 run_discriminator=slm_run_disc,
-                frame_capacity=slm_frame_capacity)
+                frame_capacity=slm_frame_capacity,
+                mel_len=min(adv.min_len // 2, mel_len))
             return (out.d_loss if slm_run_disc else out.gen_loss), out
 
         def step(params, opt_states, batch, key, sigma_data) -> Stage2Outputs:
