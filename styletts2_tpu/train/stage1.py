@@ -96,6 +96,7 @@ class Stage1Trainer:
     config: Config
     configs: Dict                   # zoo_configs() output
     optimizer: MultiOptimizer
+    mixed_precision: str = "no"     # "no" | "bf16" (fp32 master weights)
 
     def make_step(self, tma: bool, mel_len: int, mel_len_st: int):
         """Build the jitted step for a (phase, clip-length) bucket.
@@ -113,8 +114,19 @@ class Stage1Trainer:
         multispeaker = mp.multispeaker
         opt = self.optimizer
 
+        use_bf16 = self.mixed_precision == "bf16"
+
+        def _cast(tree):
+            if not use_bf16:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
         def forward_to_waveform(gen_params, frozen, batch, key):
-            zoo = {**frozen, **gen_params}
+            # bf16 compute against fp32 master params: cast inside the loss so
+            # gradients flow back to fp32 leaves (cast transpose = upcast)
+            zoo = {**_cast(frozen), **_cast(gen_params)}
             mels = log_mel_spectrogram(batch["waves"], DATASET_MEL)
             t_cap = (mels.shape[-1] // 2) * 2
             mels = mels[..., :t_cap]
@@ -165,7 +177,7 @@ class Stage1Trainer:
             return y_rec, aux
 
         def disc_loss_fn(disc_params, frozen, y_rec, wav):
-            zoo = {**frozen, **disc_params}
+            zoo = {**_cast(frozen), **_cast(disc_params)}
             y = wav[:, None, :]
             mpd_out = mpd_apply(zoo["mpd"], y, y_rec)
             msd_out = msd_apply(zoo["msd"], y, y_rec)
@@ -173,9 +185,10 @@ class Stage1Trainer:
 
         def gen_loss_fn(gen_params, frozen, batch, key):
             y_rec, aux = forward_to_waveform(gen_params, frozen, batch, key)
-            zoo = {**frozen, **gen_params}
+            zoo = {**_cast(frozen), **_cast(gen_params)}
             wav = aux["wav"]
-            loss_mel = multi_resolution_stft_loss(y_rec[:, 0, :], wav)
+            loss_mel = multi_resolution_stft_loss(
+                y_rec[:, 0, :].astype(jnp.float32), wav.astype(jnp.float32))
             metrics = {"mel_loss": loss_mel}
             if not tma:
                 return lp.lambda_mel * 0.0 + loss_mel, (metrics, y_rec, wav)

@@ -62,6 +62,7 @@ class Stage2Trainer:
     config: Config
     configs: Dict
     optimizer: MultiOptimizer
+    mixed_precision: str = "no"     # "no" | "bf16" (fp32 master weights)
 
     def make_step(
         self,
@@ -98,8 +99,17 @@ class Stage2Trainer:
             ("text_encoder", "text_aligner") if finetune else ())
         disc_keys = ("mpd", "msd") if start_ds else ()
 
+        use_bf16 = self.mixed_precision == "bf16"
+
+        def _cast(tree):
+            if not use_bf16:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
         def gen_loss_fn(gen_params, frozen, batch, key, sigma_data_in):
-            zoo = {**frozen, **gen_params}
+            zoo = {**_cast(frozen), **_cast(gen_params)}
             mels = log_mel_spectrogram(batch["waves"], DATASET_MEL)
             mels = mels[..., : (mels.shape[-1] // 2) * 2]
             mel_lengths = batch["mel_input_length"]
@@ -235,7 +245,8 @@ class Stage2Trainer:
 
             loss_f0 = _smooth_l1(f0_real, f0_fake) / 10.0
             loss_norm = _smooth_l1(n_real, n_fake)
-            loss_mel = multi_resolution_stft_loss(y_rec[:, 0, :], wav_target)
+            loss_mel = multi_resolution_stft_loss(
+                y_rec[:, 0, :].astype(jnp.float32), wav_target.astype(jnp.float32))
 
             if start_ds:
                 y = wav_target[:, None, :]
@@ -298,14 +309,14 @@ class Stage2Trainer:
             return g_loss, aux
 
         def disc_loss_fn(disc_params, frozen, y_rec, wav):
-            zoo = {**frozen, **disc_params}
+            zoo = {**_cast(frozen), **_cast(disc_params)}
             y = wav[:, None, :]
             mpd_out = mpd_apply(zoo["mpd"], y, jax.lax.stop_gradient(y_rec))
             msd_out = msd_apply(zoo["msd"], y, jax.lax.stop_gradient(y_rec))
             return discriminator_loss_full(mpd_out, msd_out)
 
         def slm_loss_fn(slm_params, frozen, batch, key, aux):
-            zoo = {**frozen, **slm_params}
+            zoo = {**_cast(frozen), **_cast(slm_params)}
             out = slm_adversarial(
                 zoo, jax.random.fold_in(key, 50), mp, plbert_cfg, whisper_cfg, adv,
                 batch["texts"] if slm_use_ind else batch["ref_texts"],

@@ -69,3 +69,18 @@ def test_stage2_step(phase):
     for k, v in out.metrics.items():
         assert np.isfinite(float(v)), k
     assert np.isfinite(float(out.sigma_data))
+
+
+def test_stage1_step_bf16():
+    zoo, cfgs = tiny_zoo()
+    cfg = tiny_config()
+    opt = MultiOptimizer(zoo, {"bert": 1e-5}, default_lr=1e-4)
+    states = opt.init(zoo)
+    trainer = Stage1Trainer(cfg, cfgs, opt, mixed_precision="bf16")
+    step = trainer.make_step(tma=True, mel_len=40, mel_len_st=40)
+    out = step(zoo, states, make_batch(), jax.random.PRNGKey(0))
+    for k, v in out.metrics.items():
+        assert np.isfinite(float(v)), k
+    # master params stay fp32
+    leaf = jax.tree_util.tree_leaves(out.params["decoder"])[0]
+    assert leaf.dtype == jnp.float32
