@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn import init as jinit
+from ..nn.conv import conv1d
 from ..nn.linear import linear
 from ..nn.lstm import bilstm
 from ..nn.norm import ada_layer_norm
@@ -132,9 +133,7 @@ def prosody_f0n_apply(
             r = jax.random.fold_in(rng, tag * 10 + i) if rng is not None else None
             y = adain_resblk1d_apply(stack[str(i)], y, s, upsample=up,
                                      dropout_p=dropout_p, train=train, rng=r)
-        y = jax.lax.conv_general_dilated(
-            y, proj["weight"], (1,), ((0, 0),),
-            dimension_numbers=("NCH", "OIH", "NCH")) + proj["bias"][None, :, None]
+        y = conv1d(y, proj["weight"], proj["bias"])
         return y[:, 0, :]
 
     return head(params["F0"], params["F0_proj"], 1), head(params["N"], params["N_proj"], 2)
