@@ -229,6 +229,40 @@ class InferenceEngine:
             return (outs[0], styles[0]) if single else (outs, styles)
         return outs[0] if single else outs
 
+    def compute_style(self, wave_24k: np.ndarray) -> np.ndarray:
+        """Reference audio -> concat(acoustic, prosodic) style (1, 2*style_dim)
+        (Demo/Inference_LibriTTS.ipynb cell 5 ``compute_style``)."""
+        from .audio.mel import DATASET_MEL, log_mel_spectrogram
+        from .models.style_encoder import style_encoder_apply
+
+        mel = log_mel_spectrogram(jnp.asarray(np.asarray(wave_24k)[None]), DATASET_MEL)
+        acoustic = style_encoder_apply(self.zoo["style_encoder"], mel[:, None])
+        prosodic = style_encoder_apply(self.zoo["predictor_encoder"], mel[:, None])
+        return np.concatenate([np.asarray(acoustic), np.asarray(prosodic)], axis=-1)
+
+    def style_transfer(self, phonemes, ref_s, alpha: float = 0.3,
+                       beta: float = 0.7, **kw):
+        """STinference (Demo/Inference_LibriTTS.ipynb cell 45): synthesize
+        target text carrying the reference speaker's style mix."""
+        return self.synthesize(phonemes, ref_s=ref_s, alpha=alpha, beta=beta, **kw)
+
+    def warmup(self, token_caps=(32, 64), frame_caps=(200, 400),
+               diffusion_steps=(5,), batch: int = 1, key=None):
+        """Pre-compile the (token, frame, steps) shape buckets a server will
+        hit, so first requests do not pay XLA compilation."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        for steps in diffusion_steps:
+            for tc in token_caps:
+                phon = "a" * (tc - 2)
+                for fc in frame_caps:
+                    fkey = (tc, steps, 1.0, False, None, None)
+                    if fkey not in self._frontend_cache:
+                        self._frontend_cache[fkey] = self._frontend_fn(tc, steps, 1.0, False)
+                    if (tc, fc) not in self._synth_cache:
+                        self._synth_cache[(tc, fc)] = self._synth_fn(tc, fc)
+                # trigger compilation through a real call at the largest cap
+                self.synthesize([phon] * batch, key=key, diffusion_steps=steps)
+
     def long_form(self, sentences, key=None, t: float = 0.7, **kw):
         """LFinference: per-sentence synthesis with style carry-over
         (Demo/Inference_LJSpeech.ipynb cell 29)."""

@@ -79,3 +79,14 @@ def test_long_form_concatenates():
     wav = eng.long_form(["ola tu", "mes amis"], key=jax.random.PRNGKey(3),
                         diffusion_steps=3)
     assert wav.ndim == 1 and np.isfinite(wav).all()
+
+
+def test_compute_style_and_style_transfer():
+    zoo, mp, plbert = tiny_setup(multispeaker=True, decoder_type="hifigan")
+    eng = InferenceEngine(zoo, mp, plbert, frame_bucket=50)
+    wave = np.random.default_rng(0).standard_normal(80 * 300).astype(np.float32) * 0.1
+    ref_s = eng.compute_style(wave)
+    assert ref_s.shape == (1, 2 * mp.style_dim)
+    wav = eng.style_transfer("ola tu", ref_s, key=jax.random.PRNGKey(0),
+                             diffusion_steps=3)
+    assert np.isfinite(wav).all()
