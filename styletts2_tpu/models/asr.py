@@ -363,7 +363,7 @@ def asr_s2s_apply(
     keys = jax.random.split(jax.random.fold_in(rng, 8), t_steps) if rng is not None \
         else jnp.zeros((t_steps, 2), jnp.uint32)
     xs = (jnp.swapaxes(dec_inputs, 0, 1), keys)
-    _, (hidden, logits, attn) = jax.lax.scan(step, init, xs)
+    _, (hidden, logits, attn) = jax.lax.scan(step, init, xs, unroll=2)
     return (jnp.swapaxes(hidden, 0, 1), jnp.swapaxes(logits, 0, 1),
             jnp.swapaxes(attn, 0, 1))
 

@@ -44,7 +44,9 @@ def _cell_scan(
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    (h, c), ys = jax.lax.scan(step, (h, c), jnp.swapaxes(xg, 0, 1))
+    # unroll amortizes XLA while-loop per-iteration overhead; the recurrence
+    # itself stays sequential (small matmuls are latency-bound on TPU)
+    (h, c), ys = jax.lax.scan(step, (h, c), jnp.swapaxes(xg, 0, 1), unroll=4)
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
 

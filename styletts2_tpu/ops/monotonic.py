@@ -60,7 +60,7 @@ def maximum_path(
 
     cols = jnp.swapaxes(values, 0, 2).swapaxes(1, 2)          # (T_mel, B, T_text)
     init = jnp.full((b, t_text), NEG_INF)
-    _, v = jax.lax.scan(fwd, init, (jnp.arange(t_mel), cols))
+    _, v = jax.lax.scan(fwd, init, (jnp.arange(t_mel), cols), unroll=4)
     v = jnp.swapaxes(v, 0, 1).swapaxes(1, 2)                  # (B, T_text, T_mel)
 
     # Backtrack from (text_len-1, mel_len-1) down to frame 0.
@@ -81,7 +81,7 @@ def maximum_path(
     ys = jnp.arange(t_mel - 1, -1, -1)
     v_prev = jnp.concatenate([jnp.full((b, t_text, 1), NEG_INF), v[:, :, :-1]], axis=2)
     v_prev_cols = jnp.swapaxes(v_prev, 0, 2).swapaxes(1, 2)[ys]  # (T_mel, B, T_text) reversed
-    _, rows = jax.lax.scan(bwd, jnp.zeros((b,), jnp.int32), (ys, v_prev_cols))
+    _, rows = jax.lax.scan(bwd, jnp.zeros((b,), jnp.int32), (ys, v_prev_cols), unroll=4)
     path = jnp.swapaxes(rows[::-1], 0, 1).swapaxes(1, 2)      # (B, T_text, T_mel)
     return path.astype(values.dtype)
 
