@@ -84,7 +84,7 @@ def main():
     engine, mp = build()
     platform = jax.devices()[0].platform
     token_cap, frame_cap, steps = 64, 400, 5
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
 
     if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" and platform == "tpu":
         from styletts2_tpu.utils import cast_pytree
