@@ -97,9 +97,16 @@ def init_msd(key) -> Dict:
     return p
 
 
+DROP_NYQUIST = True  # 2^k+1 bin counts pad 8x on TPU lanes (T(2,128) layout);
+                     # dropping the Nyquist bin restores dense tiling. Affects
+                     # only discriminator scores (training dynamics), not audio.
+
+
 def _spec_discriminator(p: Dict, x: jnp.ndarray, res) -> Tuple[jnp.ndarray, List]:
     n_fft, hop, win = res
     mag = jnp.abs(stft(x[:, 0, :], n_fft, hop, win, hann_window(win)))
+    if DROP_NYQUIST:
+        mag = mag[:, :-1, :]
     y = jnp.swapaxes(mag, 1, 2)[:, None]                     # (B, 1, frames, bins)
     fmap = []
     strides = [(1, 1), (1, 2), (1, 2), (1, 2), (1, 1)]

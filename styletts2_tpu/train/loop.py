@@ -98,6 +98,9 @@ def run_stage1(
                     return state
             state.epoch = epoch + 1
             logger.info("stage1 epoch %d done in %.1fs", epoch, time.time() - t0)
+            if val_loader is not None:
+                _run_validation(cfg, configs, state, val_loader, epoch, log_cb,
+                                stage=1)
             if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
                 save_checkpoint(os.path.join(cfg.log_dir, f"epoch_1st_{epoch:05d}.npz"),
                                 state.params, state.opt_states, epoch, state.iters)
@@ -162,9 +165,47 @@ def run_stage2(
                 if max_steps and steps_done >= max_steps:
                     return state
             state.epoch = epoch + 1
+            if val_loader is not None:
+                _run_validation(cfg, configs, state, val_loader, epoch, log_cb,
+                                stage=2)
             if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
                 tag = "ft" if finetune else "2nd"
                 save_checkpoint(os.path.join(cfg.log_dir, f"epoch_{tag}_{epoch:05d}.npz"),
                                 state.params, state.opt_states, epoch, state.iters,
                                 extra={"sigma_data": state.sigma_data})
     return state
+
+
+def _run_validation(cfg, configs, state, val_loader, epoch, log_cb, stage: int):
+    """Per-epoch validation + qualitative sample dumps
+    (ref: train_first.py:457-545, train_second.py:949-1193)."""
+    from .validate import make_stage1_val_step, make_stage2_val_step
+
+    make = make_stage1_val_step if stage == 1 else make_stage2_val_step
+    totals: Dict[str, float] = {}
+    count = 0
+    step_cache: Dict = {}
+    first_batch = None
+    for batch in val_loader(epoch):
+        mel_len = _bucket(_clip_lengths(batch["mel_input_length"], cfg.max_len))
+        if mel_len < 40:
+            continue
+        if first_batch is None:
+            first_batch = batch
+        if mel_len not in step_cache:
+            step_cache[mel_len] = make(cfg, configs, mel_len)
+        out = step_cache[mel_len](state.params, batch,
+                                  jax.random.PRNGKey(epoch))
+        for k, v in out.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+        count += 1
+    if count and log_cb:
+        log_cb(state.iters, {f"val_{k}": v / count for k, v in totals.items()})
+    if first_batch is not None and cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
+        try:
+            from .samples import generate_samples
+
+            generate_samples(state.params, configs, first_batch,
+                             os.path.join(cfg.log_dir, "samples", f"epoch_{epoch:05d}"))
+        except Exception as exc:   # sample dumps must never kill training
+            logger.warning("sample generation failed: %s", exc)
