@@ -97,6 +97,9 @@ class Stage1Trainer:
     configs: Dict                   # zoo_configs() output
     optimizer: MultiOptimizer
     mixed_precision: str = "no"     # "no" | "bf16" (fp32 master weights)
+    remat_discriminators: bool = True  # recompute MPD/MSD activations in the
+                                       # backward pass (their conv towers are
+                                       # the largest HBM temporaries)
 
     def make_step(self, tma: bool, mel_len: int, mel_len_st: int):
         """Build the jitted step for a (phase, clip-length) bucket.
@@ -205,9 +208,11 @@ class Stage1Trainer:
             loss_mono = jnp.mean(jnp.abs(aux["s2s_attn"] - aux["s2s_attn_mono"])) * 10.0
 
             y = wav[:, None, :]
-            mpd_out = mpd_apply(zoo["mpd"], y, y_rec)
-            msd_out = msd_apply(zoo["msd"], y, y_rec)
-            loss_gen_all = generator_loss_full(mpd_out, msd_out)
+            disc_fwd = lambda yy, yr: generator_loss_full(
+                mpd_apply(zoo["mpd"], yy, yr), msd_apply(zoo["msd"], yy, yr))
+            if self.remat_discriminators:
+                disc_fwd = jax.checkpoint(disc_fwd)
+            loss_gen_all = disc_fwd(y, y_rec)
 
             loss_slm = slm_feature_loss(zoo["slm_encoder"], wav, y_rec[:, 0, :],
                                         whisper_cfg, mp.slm.hop_length)

@@ -63,6 +63,9 @@ class Stage2Trainer:
     configs: Dict
     optimizer: MultiOptimizer
     mixed_precision: str = "no"     # "no" | "bf16" (fp32 master weights)
+    remat_discriminators: bool = True  # recompute MPD/MSD activations in the
+                                       # backward pass (their conv towers are
+                                       # the largest HBM temporaries)
 
     def make_step(
         self,
@@ -250,9 +253,11 @@ class Stage2Trainer:
 
             if start_ds:
                 y = wav_target[:, None, :]
-                mpd_out = mpd_apply(zoo["mpd"], y, y_rec)
-                msd_out = msd_apply(zoo["msd"], y, y_rec)
-                loss_gen_all = generator_loss_full(mpd_out, msd_out)
+                disc_fwd = lambda yy, yr: generator_loss_full(
+                    mpd_apply(zoo["mpd"], yy, yr), msd_apply(zoo["msd"], yy, yr))
+                if self.remat_discriminators:
+                    disc_fwd = jax.checkpoint(disc_fwd)
+                loss_gen_all = disc_fwd(y, y_rec)
             else:
                 loss_gen_all = jnp.zeros(())
 
