@@ -60,6 +60,17 @@ class InferenceEngine:
         self._frontend_cache: Dict = {}
         self._synth_cache: Dict = {}
         self.cleaner = TextCleaner()
+        # PL-BERT runtime position capacity >= 1024 (PLBERT_MAX_POSITION env
+        # override honoured), grown by repeating the last learned row
+        # (ref: Utils/PLBERT/util.py:8-20, 31-65).
+        import os as _os
+
+        from .models.plbert import resize_position_embeddings
+
+        target = max(int(_os.environ.get("PLBERT_MAX_POSITION", 0) or 0), 1024)
+        if "bert" in self.zoo:
+            self.zoo = dict(self.zoo)
+            self.zoo["bert"] = resize_position_embeddings(self.zoo["bert"], target)
 
     # -- tokenization -----------------------------------------------------
     def tokens_from_phonemes(self, phonemes: str) -> np.ndarray:
