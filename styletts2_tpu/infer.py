@@ -55,6 +55,8 @@ class InferenceEngine:
     last_token_pad: int = 5        # LJSpeech demo: pred_dur[-1] += 5
     input_sharding: object = None  # optional NamedSharding for batch inputs
     compute_dtype: object = None   # e.g. jnp.bfloat16 for MXU-rate serving
+    duration_headroom: int = 10    # speculative frames per token (en rate)
+    max_frames: int = 1200         # hard cap on synthesis frame capacity
 
     def __post_init__(self):
         self._frontend_cache: Dict = {}
@@ -215,15 +217,30 @@ class InferenceEngine:
             self.zoo, jnp.asarray(tokens), jnp.asarray(lengths), k_samp, noise,
             ref_in, sp_in, jnp.float32(prev_blend if s_prev is not None else 0.0))
 
-        pred_dur_np = np.asarray(pred_dur)
-        frames = pred_dur_np.sum(axis=1)
-        t_mel = _round_up(int(frames.max()), self.frame_bucket)
-        skey = (cap, t_mel)
+        # Speculative frame capacity: launch the synthesis stage immediately
+        # with a capacity predicted from text length, and overlap the
+        # pred_dur device->host sync with vocoder execution.  Only when the
+        # speculation is too small (rare with adequate headroom) do we pay a
+        # second synthesis at the exact bucket.
+        spec_cap = _round_up(
+            min(int(lengths.max()) * self.duration_headroom + self.frame_bucket,
+                self.max_frames),
+            self.frame_bucket)
+        skey = (cap, spec_cap)
         if skey not in self._synth_cache:
-            self._synth_cache[skey] = self._synth_fn(cap, t_mel)
-        wav = self._synth_cache[skey](self.zoo, t_en, d, s, ref, pred_dur,
-                                      jnp.asarray(lengths))
-        wav = np.asarray(wav)
+            self._synth_cache[skey] = self._synth_fn(cap, spec_cap)
+        wav_dev = self._synth_cache[skey](self.zoo, t_en, d, s, ref, pred_dur,
+                                          jnp.asarray(lengths))
+        pred_dur_np = np.asarray(pred_dur)          # overlaps with synth
+        frames = pred_dur_np.sum(axis=1)
+        if int(frames.max()) > spec_cap:
+            t_mel = _round_up(int(frames.max()), self.frame_bucket)
+            skey = (cap, t_mel)
+            if skey not in self._synth_cache:
+                self._synth_cache[skey] = self._synth_fn(cap, t_mel)
+            wav_dev = self._synth_cache[skey](self.zoo, t_en, d, s, ref, pred_dur,
+                                              jnp.asarray(lengths))
+        wav = np.asarray(wav_dev)
 
         outs = []
         # durations are at the en rate (mel/2): the decoder upsamples 2x to
