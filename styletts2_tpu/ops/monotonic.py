@@ -86,11 +86,26 @@ def maximum_path(
     return path.astype(values.dtype)
 
 
+#: "auto" (Pallas on a TPU default backend), "pallas", or "scan".  The
+#: CPU-mesh dryrun overrides to "scan" because the default backend can be a
+#: TPU while the mesh devices are virtual CPUs.
+MAXIMUM_PATH_IMPL = "auto"
+
+
+def set_maximum_path_impl(impl: str):
+    global MAXIMUM_PATH_IMPL
+    assert impl in ("auto", "pallas", "scan")
+    MAXIMUM_PATH_IMPL = impl
+
+
 def maximum_path_auto(values, text_lengths, mel_lengths):
     """Backend-dispatching maximum path: the Pallas kernel on TPU (two
     orders of magnitude faster to compile than the unrolled scan pair, same
     runtime), the scan DP elsewhere."""
-    if jax.default_backend() == "tpu":
+    impl = MAXIMUM_PATH_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas":
         from .pallas.monotonic_kernel import maximum_path_pallas
 
         return maximum_path_pallas(values, text_lengths, mel_lengths).astype(values.dtype)
