@@ -60,6 +60,9 @@ class ASRConfig:
     pron_error_classes: int = 2
     # Sample-wise stochastic depth on encoder stages (ref: models.py:12-46)
     stochastic_depth_rate: float = 0.0
+    # Rematerialize encoder stages in the backward pass
+    # (ref: Utils/ASR/models.py:384-422 checkpoint_sequential)
+    gradient_checkpointing: bool = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -265,8 +268,15 @@ def asr_encode(params: Dict, mels: jnp.ndarray, cfg: ASRConfig = ASRConfig(),
     for i in range(n):
         layer = params["encoder_layers"][str(i)]
         r = jax.random.fold_in(rng, 100 + i) if rng is not None else None
-        y = _conv_block(layer["block"], x, train, r)
-        y = _group_norm(y, 1, layer["post_norm"]["weight"], layer["post_norm"]["bias"])
+
+        def stage(lp, xx):
+            yy = _conv_block(lp["block"], xx, train, r)
+            return _group_norm(yy, 1, lp["post_norm"]["weight"],
+                               lp["post_norm"]["bias"])
+
+        if cfg.gradient_checkpointing and train:
+            stage = jax.checkpoint(stage)
+        y = stage(layer, x)
         if cfg.stochastic_depth_rate > 0 and train and rng is not None:
             # linear per-layer schedule, sample-wise (ref: models.py:12-46, 329-343)
             drop = cfg.stochastic_depth_rate * ((i) / max(1, n - 1))

@@ -119,3 +119,24 @@ def test_generate_training_samples(tmp_path):
     import os
     files = sorted(os.listdir(out))
     assert "0_gt.wav" in files and "0_rec.wav" in files and "0_pred.wav" in files
+
+
+def test_asr_gradient_checkpointing():
+    import jax.numpy as jnp
+    from styletts2_tpu.models.asr import ASRConfig, asr_apply, init_asr
+
+    cfg = ASRConfig(hidden_dim=32, n_layers=2, n_token=50, token_embedding_dim=16,
+                    location_kernel_size=7, gradient_checkpointing=True)
+    params = init_asr(KEY, cfg)
+    mels = jax.random.normal(KEY, (2, 80, 24))
+    mask = jnp.zeros((2, 12), bool)
+    text = jax.random.randint(KEY, (2, 6), 0, 50)
+
+    def loss(p):
+        out = asr_apply(p, mels, mask, text, cfg, train=True, rng=jax.random.PRNGKey(1))
+        return jnp.mean(out["ctc_logits"] ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
