@@ -78,18 +78,28 @@ def slm_feature_loss(
     return loss / len(wav_states)
 
 
+def _weighted_mean(per_sample: jnp.ndarray, weights) -> jnp.ndarray:
+    """Mean over samples, optionally weighted (masked SPMD validity)."""
+    if weights is None:
+        return jnp.mean(per_sample)
+    w = weights.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def slm_generator_loss(whisper_params: Dict, wd_params: Dict, y_rec: jnp.ndarray,
-                       cfg: WhisperConfig = WhisperConfig(), hop_length: int = 300) -> jnp.ndarray:
+                       cfg: WhisperConfig = WhisperConfig(), hop_length: int = 300,
+                       sample_weights=None) -> jnp.ndarray:
     t = target_frames(y_rec.shape[-1], hop_length)
     _, emb = slm_encode(whisper_params, y_rec, t, cfg)
     score = whisper_discriminator_apply(wd_params, emb)
-    return jnp.mean((1.0 - score) ** 2)
+    return _weighted_mean(jnp.mean((1.0 - score) ** 2, axis=-1), sample_weights)
 
 
 def slm_discriminator_loss(whisper_params: Dict, wd_params: Dict,
                            wav: jnp.ndarray, y_rec: jnp.ndarray,
                            cfg: WhisperConfig = WhisperConfig(),
-                           hop_length: int = 300) -> jnp.ndarray:
+                           hop_length: int = 300,
+                           sample_weights=None) -> jnp.ndarray:
     t = max(target_frames(wav.shape[-1], hop_length),
             target_frames(y_rec.shape[-1], hop_length))
     _, emb_r = slm_encode(whisper_params, jax.lax.stop_gradient(wav), t, cfg)
@@ -98,7 +108,8 @@ def slm_discriminator_loss(whisper_params: Dict, wd_params: Dict,
     emb_g = jax.lax.stop_gradient(emb_g)
     score_r = whisper_discriminator_apply(wd_params, emb_r)
     score_g = whisper_discriminator_apply(wd_params, emb_g)
-    return jnp.mean((1.0 - score_r) ** 2) + jnp.mean(score_g ** 2)
+    return (_weighted_mean(jnp.mean((1.0 - score_r) ** 2, axis=-1), sample_weights)
+            + _weighted_mean(jnp.mean(score_g ** 2, axis=-1), sample_weights))
 
 
 def slm_discriminator_forward(whisper_params: Dict, wd_params: Dict, wav: jnp.ndarray,

@@ -141,11 +141,15 @@ def slm_adversarial(
     )(waves, start_gt)
     wav = jax.lax.stop_gradient(wav)
 
+    # per-sample validity weighting + the reference's >=2-valid rule
+    # (ref: slmadv.py:183-190 raises SkipSLMAdversarial below 2)
     vf = valid.astype(jnp.float32)
-    weight = vf.sum() / jnp.maximum(vf.sum(), 1.0)           # 0 if none valid
+    enough = (vf.sum() >= 2.0).astype(jnp.float32)
+    weights = vf * enough
 
     gen_loss = slm_generator_loss(zoo["slm_encoder"], zoo["wd"], y_pred,
-                                  whisper_cfg, mp.slm.hop_length) * weight
+                                  whisper_cfg, mp.slm.hop_length,
+                                  sample_weights=weights)
 
     if run_discriminator:
         use_rec = jax.random.bernoulli(jax.random.fold_in(key, 47))
@@ -154,13 +158,14 @@ def slm_adversarial(
                          wav[:, : y_rec_gt_pred.shape[-1]] if y_rec_gt_pred.shape[-1] <= wav.shape[-1] else wav)
         d_loss = slm_discriminator_loss(
             zoo["slm_encoder"], zoo["wd"], jax.lax.stop_gradient(real),
-            jax.lax.stop_gradient(y_pred), whisper_cfg, mp.slm.hop_length) * weight
+            jax.lax.stop_gradient(y_pred), whisper_cfg, mp.slm.hop_length,
+            sample_weights=weights)
         # reconstruction-invariance regularizer (ref: slmadv.py:245-249)
         out_gt = slm_discriminator_forward(zoo["slm_encoder"], zoo["wd"], y_rec_gt,
                                            whisper_cfg, mp.slm.hop_length)
         out_rec = slm_discriminator_forward(zoo["slm_encoder"], zoo["wd"], y_rec_gt_pred,
                                             whisper_cfg, mp.slm.hop_length)
-        d_loss = d_loss + jnp.mean(jnp.abs(out_gt - out_rec)) * weight
+        d_loss = d_loss + jnp.mean(jnp.abs(out_gt - out_rec)) * enough
     else:
         d_loss = jnp.zeros(())
 
