@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
+    if not (args.text or args.phonemes):
+        ap.error("provide --text or --phonemes")
 
     import jax
     import jax.numpy as jnp
