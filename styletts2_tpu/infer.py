@@ -158,8 +158,10 @@ class InferenceEngine:
                     return jnp.concatenate([z[..., :1], z[..., :-1]], axis=-1)
                 en = shift(en)
                 asr = shift(asr)
-            f0, n = prosody_f0n_apply(zoo["predictor"], en, s)
-            wav = decoder_mod.decoder_apply(zoo["decoder"], mp.decoder, asr, f0, n, ref)
+            frames = pred_dur.sum(axis=1)
+            f0, n = prosody_f0n_apply(zoo["predictor"], en, s, lengths=frames)
+            wav = decoder_mod.decoder_apply(zoo["decoder"], mp.decoder, asr, f0, n,
+                                            ref, lengths=frames)
             return wav[:, 0, :]
 
         return jax.jit(fn)

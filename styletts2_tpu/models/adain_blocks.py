@@ -44,23 +44,29 @@ def adain_resblk1d_apply(
     dropout_p: float = 0.0,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames at input rate
 ) -> jnp.ndarray:
+    keep = None
+    if lengths is not None:
+        keep = jnp.arange(x.shape[-1])[None, :] < lengths[:, None]
     # shortcut
     sc = interpolate_nearest_2x(x) if upsample else x
     if "conv1x1" in p:
         sc = cm.wn_conv1d(p["conv1x1"], sc)
     # residual
-    h = adain1d(p["norm1"], x, s)
+    h = adain1d(p["norm1"], x, s, keep=keep)
     h = cm.leaky_relu(h, 0.2)
     if upsample:
         h = conv_transpose1d(
             h, weight_norm_kernel(p["pool"]), p["pool"].get("bias"),
             stride=2, padding=1, output_padding=1, groups=h.shape[1],
         )
+        if lengths is not None:
+            keep = jnp.arange(h.shape[-1])[None, :] < (lengths * 2)[:, None]
     if train and rng is not None:
         h = cm.dropout(h, dropout_p, train, jax.random.fold_in(rng, 1))
     h = cm.wn_conv1d(p["conv1"], h, padding=1)
-    h = adain1d(p["norm2"], h, s)
+    h = adain1d(p["norm2"], h, s, keep=keep)
     h = cm.leaky_relu(h, 0.2)
     if train and rng is not None:
         h = cm.dropout(h, dropout_p, train, jax.random.fold_in(rng, 2))

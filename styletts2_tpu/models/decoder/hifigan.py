@@ -72,6 +72,7 @@ def generator_apply(
     f0: jnp.ndarray,           # (B, T_mel)
     key: Optional[jax.Array] = None,
     deterministic: bool = True,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames at T_mel rate
 ) -> jnp.ndarray:
     """Returns waveform (B, 1, T_samples) (ref: Modules/hifigan.py:320-346)."""
     rates = cfg.upsample_rates
@@ -95,8 +96,14 @@ def generator_apply(
         else:
             x_source = conv1d(har, nc["weight"], nc["bias"])
             nres_k = 11
+        stage_lengths = None
+        if lengths is not None:
+            mult = 1
+            for r_ in rates[: i + 1]:
+                mult *= r_
+            stage_lengths = lengths * mult
         x_source = adain_resblock1_apply(params["noise_res"][str(i)], x_source, s,
-                                         nres_k, (1, 3, 5))
+                                         nres_k, (1, 3, 5), lengths=stage_lengths)
         up = params["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
         x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
@@ -109,7 +116,8 @@ def generator_apply(
         for j in range(num_kernels):
             r = adain_resblock1_apply(
                 params["resblocks"][str(i * num_kernels + j)], x, s,
-                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j])
+                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j],
+                lengths=stage_lengths)
             xs = r if xs is None else xs + r
         x = xs / num_kernels
 
@@ -147,6 +155,7 @@ def decoder_apply(
     s: jnp.ndarray,
     key: Optional[jax.Array] = None,
     train: bool = False,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid T_en frames
 ) -> jnp.ndarray:
     """Full HiFi-GAN decoder forward (ref: Modules/hifigan.py:445-474)."""
     if train and key is not None:
@@ -157,7 +166,7 @@ def decoder_apply(
     n = cm.wn_conv1d(params["N_conv"], n_curve[:, None, :], stride=2, padding=1)
 
     x = jnp.concatenate([asr, f0, n], axis=1)
-    x = adain_resblk1d_apply(params["encode"], x, s)
+    x = adain_resblk1d_apply(params["encode"], x, s, lengths=lengths)
     asr_res = cm.wn_conv1d(params["asr_res"]["0"], asr)
 
     res = True
@@ -165,9 +174,11 @@ def decoder_apply(
         if res:
             x = jnp.concatenate([x, asr_res, f0, n], axis=1)
         upsample = i == 3
-        x = adain_resblk1d_apply(params["decode"][str(i)], x, s, upsample=upsample)
+        x = adain_resblk1d_apply(params["decode"][str(i)], x, s, upsample=upsample,
+                                 lengths=lengths)
         if upsample:
             res = False
 
     return generator_apply(params["generator"], cfg, x, s, f0_curve,
-                           key=key, deterministic=not train)
+                           key=key, deterministic=not train,
+                           lengths=None if lengths is None else lengths * 2)

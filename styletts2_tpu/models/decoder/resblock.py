@@ -41,14 +41,18 @@ def init_adain_resblock1(key, channels: int, kernel_size: int = 3,
 
 def adain_resblock1_apply(p: Dict, x: jnp.ndarray, s: jnp.ndarray,
                           kernel_size: int = 3,
-                          dilation: Sequence[int] = (1, 3, 5)) -> jnp.ndarray:
+                          dilation: Sequence[int] = (1, 3, 5),
+                          lengths=None) -> jnp.ndarray:
+    keep = None
+    if lengths is not None:
+        keep = jnp.arange(x.shape[-1])[None, :] < lengths[:, None]
     for i in range(3):
-        h = adain1d(p["adain1"][str(i)], x, s)
+        h = adain1d(p["adain1"][str(i)], x, s, keep=keep)
         h = snake(h, p["alpha1"][str(i)])
         h = cm.wn_conv1d(p["convs1"][str(i)], h,
                          padding=_get_padding(kernel_size, dilation[i]),
                          dilation=dilation[i])
-        h = adain1d(p["adain2"][str(i)], h, s)
+        h = adain1d(p["adain2"][str(i)], h, s, keep=keep)
         h = snake(h, p["alpha2"][str(i)])
         h = cm.wn_conv1d(p["convs2"][str(i)], h,
                          padding=_get_padding(kernel_size, 1))

@@ -122,17 +122,22 @@ def prosody_f0n_apply(
     dropout_p: float = 0.1,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames (padded batches)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """F0 curve and energy (B, 2*T_mel) each (ref: models.py:638-651)."""
-    h = bilstm(params["shared"], jnp.swapaxes(x, 1, 2))  # (B, T, d_hid)
+    h = bilstm(params["shared"], jnp.swapaxes(x, 1, 2), lengths)  # (B, T, d_hid)
     h = jnp.swapaxes(h, 1, 2)                            # (B, d_hid, T)
 
     def head(stack: Dict, proj: Dict, tag: int) -> jnp.ndarray:
         y = h
+        cur = lengths
         for i, up in enumerate((False, True, False)):
             r = jax.random.fold_in(rng, tag * 10 + i) if rng is not None else None
             y = adain_resblk1d_apply(stack[str(i)], y, s, upsample=up,
-                                     dropout_p=dropout_p, train=train, rng=r)
+                                     dropout_p=dropout_p, train=train, rng=r,
+                                     lengths=cur)
+            if up and cur is not None:
+                cur = cur * 2
         y = conv1d(y, proj["weight"], proj["bias"])
         return y[:, 0, :]
 

@@ -54,15 +54,32 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
     return y
 
 
-def adain1d(params: dict, x: jnp.ndarray, s: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def masked_instance_norm1d(x: jnp.ndarray, keep: jnp.ndarray,
+                           eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over valid frames only: ``keep`` (B, T) marks validity.
+
+    With padded batches, unmasked statistics are contaminated by the zero
+    region and batched synthesis stops matching exact-length synthesis.
+    """
+    k = keep[:, None, :].astype(x.dtype)
+    n = jnp.maximum(k.sum(axis=2, keepdims=True), 1.0)
+    mean = (x * k).sum(axis=2, keepdims=True) / n
+    var = (jnp.square(x - mean) * k).sum(axis=2, keepdims=True) / n
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def adain1d(params: dict, x: jnp.ndarray, s: jnp.ndarray, eps: float = 1e-5,
+            keep=None) -> jnp.ndarray:
     """Adaptive instance norm on (B, C, T) conditioned on style (B, S).
 
     ``params['fc']`` holds a torch Linear (weight (2C, S), bias (2C,)); the
-    first C outputs are gamma, the rest beta.
+    first C outputs are gamma, the rest beta.  ``keep`` (B, T) restricts the
+    normalization statistics to valid frames (padded batched synthesis).
     """
     h = linear(s, params["fc"]["weight"], params["fc"]["bias"])  # (B, 2C)
     gamma, beta = jnp.split(h, 2, axis=-1)
-    return (1.0 + gamma[:, :, None]) * instance_norm(x, eps) + beta[:, :, None]
+    norm = instance_norm(x, eps) if keep is None else masked_instance_norm1d(x, keep, eps)
+    return (1.0 + gamma[:, :, None]) * norm + beta[:, :, None]
 
 
 def ada_layer_norm(params: dict, x: jnp.ndarray, s: jnp.ndarray,

@@ -90,3 +90,18 @@ def test_compute_style_and_style_transfer():
     wav = eng.style_transfer("ola tu", ref_s, key=jax.random.PRNGKey(0),
                              diffusion_steps=3)
     assert np.isfinite(wav).all()
+
+
+def test_speculative_capacity_fallback():
+    """Force the speculative frame capacity to be too small: the engine must
+    fall back to the exact bucket and still produce full-length audio."""
+    zoo, mp, plbert = tiny_setup()
+    eng = InferenceEngine(zoo, mp, plbert, frame_bucket=50)
+    eng.duration_headroom = 1          # guaranteed under-prediction
+    wav_spec = eng.synthesize("ola tu bonjur", key=jax.random.PRNGKey(4),
+                              diffusion_steps=3)
+    eng2 = InferenceEngine(zoo, mp, plbert, frame_bucket=50)  # generous default
+    wav_ref = eng2.synthesize("ola tu bonjur", key=jax.random.PRNGKey(4),
+                              diffusion_steps=3)
+    assert wav_spec.shape == wav_ref.shape
+    np.testing.assert_allclose(wav_spec, wav_ref, atol=1e-4)
