@@ -158,9 +158,16 @@ def istft(
 
 def stft_mag_phase(x, n_fft, hop_length, win_length, window=None):
     """(magnitude, phase-angle) pair, the reference ``TorchSTFT.transform``
+    The imaginary part is nudged by +0.0 so exact zeros take the +0.0 IEEE
+    sign: ``atan2(+0.0, -x) = +pi``, matching torch.angle on bins whose
+    imaginary part cancels exactly (jax's rfft emits -0.0 there, which would
+    flip the phase to -pi — a 2*pi jump in the downstream conv inputs).
     (ref: Modules/istftnet.py:91-97)."""
     spec = stft(x, n_fft, hop_length, win_length, window)
-    return jnp.abs(spec), jnp.angle(spec)
+    im = jnp.imag(spec)
+    im = jnp.where(im == 0.0, 0.0, im)  # -0.0 -> +0.0 (XLA-fold-proof)
+    phase = jnp.arctan2(im, jnp.real(spec))
+    return jnp.abs(spec), phase
 
 
 def istft_from_mag_phase(mag, phase, n_fft, hop_length, win_length, window=None, length=None):

@@ -179,6 +179,8 @@ def decoder_apply(
         if upsample:
             res = False
 
+    # Source noise follows the key (see istftnet.decoder_apply): the
+    # reference adds SineGen dither at inference too.
     return generator_apply(params["generator"], cfg, x, s, f0_curve,
-                           key=key, deterministic=not train,
+                           key=key, deterministic=key is None,
                            lengths=None if lengths is None else lengths * 2)

