@@ -84,14 +84,25 @@ def vk_denoise_fn(net: Callable) -> Callable:
     return fn
 
 
+def vk_sigma_distribution(key, num_samples: int, sigma_data: float = 1.0,
+                          min_value: float = 0.0,
+                          max_value: float = float("inf")) -> jnp.ndarray:
+    """VKDistribution (ref: sampler.py:41-59): inverse-tan-CDF transform of a
+    *normal* draw — the reference uses ``torch.randn`` (not ``rand``) here, a
+    quirk we mirror exactly for parity."""
+    min_cdf = math.atan(min_value / sigma_data) * 2.0 / math.pi
+    max_cdf = math.atan(max_value / sigma_data) * 2.0 / math.pi
+    u = (max_cdf - min_cdf) * jax.random.normal(key, (num_samples,)) + min_cdf
+    return jnp.tan(u * math.pi / 2.0) * sigma_data
+
+
 def vk_diffusion_loss(key, net: Callable, x: jnp.ndarray,
                       sigma_data: float = 1.0,
                       noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """VKDiffusion.forward (ref: sampler.py:275-295) with the VK sigma
     distribution (ref: sampler.py:41-59)."""
     k_sig, k_noise = jax.random.split(key)
-    u = jax.random.normal(k_sig, (x.shape[0],)) * 0.5  # min_cdf=0 half-tan span
-    sigmas = jnp.tan(jnp.abs(u) * math.pi / 2.0) * sigma_data
+    sigmas = vk_sigma_distribution(k_sig, x.shape[0], sigma_data)
     sp = sigmas[:, None, None]
     if noise is None:
         noise = jax.random.normal(k_noise, x.shape)

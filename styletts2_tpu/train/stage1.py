@@ -232,21 +232,31 @@ class Stage1Trainer:
             gen_params = {k: params[k] for k in gen_keys}
             frozen = {k: v for k, v in params.items() if k not in gen_keys}
 
+            d_loss = None
+            if tma:
+                # Discriminators step FIRST on the detached fake, then the
+                # generator's adversarial loss sees the *updated* MPD/MSD —
+                # the reference's update order (ref: train_first.py:391-430).
+                # The plain forward here and the one inside the generator
+                # grad pass below are identical expressions (same params,
+                # batch, key), so XLA CSE merges them into one.
+                y_rec0, aux0 = forward_to_waveform(gen_params, frozen, batch, key)
+                disc_params = {k: params[k] for k in disc_keys}
+                frozen_d = {k: v for k, v in params.items() if k not in disc_keys}
+                d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+                    disc_params, frozen_d,
+                    jax.lax.stop_gradient(y_rec0),
+                    jax.lax.stop_gradient(aux0["wav"]))
+                params, opt_states = opt.apply(params, d_grads, opt_states, disc_keys)
+                frozen = {k: v for k, v in params.items() if k not in gen_keys}
+
             (g_loss, (metrics, y_rec, wav)), grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(gen_params, frozen, batch, key)
             metrics["g_loss"] = g_loss
-
-            params2, opt_states = opt.apply(params, grads, opt_states, gen_keys)
-
-            if tma:
-                disc_params = {k: params2[k] for k in disc_keys}
-                frozen_d = {k: v for k, v in params2.items() if k not in disc_keys}
-                d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
-                    disc_params, frozen_d,
-                    jax.lax.stop_gradient(y_rec), jax.lax.stop_gradient(wav))
-                params2, opt_states = opt.apply(params2, d_grads, opt_states, disc_keys)
+            if d_loss is not None:
                 metrics["d_loss"] = d_loss
 
+            params2, opt_states = opt.apply(params, grads, opt_states, gen_keys)
             return Stage1Outputs(params2, opt_states, metrics)
 
         return jax.jit(step, donate_argnums=(0, 1))

@@ -79,6 +79,8 @@ class Stage2Trainer:
         slm_use_ind: bool = False,
         slm_frame_capacity: int = 400,
         finetune: bool = False,
+        slm_use_rec: bool = False,
+        slm_real_alt: bool = False,
     ):
         """``finetune=True`` reproduces train_finetune.py: every module
         (including text_encoder/text_aligner) trains from step 0, the TMA
@@ -333,25 +335,38 @@ class Stage2Trainer:
                 num_steps=num_diff_steps, use_ind_style=slm_use_ind,
                 run_discriminator=slm_run_disc,
                 frame_capacity=slm_frame_capacity,
-                mel_len=min(adv.min_len // 2, mel_len))
+                mel_len=min(adv.min_len // 2, mel_len),
+                use_rec=slm_use_rec, real_alt=slm_real_alt)
             return (out.d_loss if slm_run_disc else out.gen_loss), out
 
         def step(params, opt_states, batch, key, sigma_data) -> Stage2Outputs:
             gen_params = {k: params[k] for k in gen_keys}
             frozen = {k: v for k, v in params.items() if k not in gen_keys}
+
+            d_loss = None
+            if start_ds:
+                # Discriminators step FIRST on the detached fake, so the
+                # generator's adversarial loss below sees the updated MPD/MSD
+                # (ref: train_second.py:719-779 update order).  This plain
+                # forward and the generator grad pass are identical
+                # expressions, so XLA CSE merges them.
+                _, aux0 = gen_loss_fn(gen_params, frozen, batch, key, sigma_data)
+                disc_params = {k: params[k] for k in disc_keys}
+                frozen_d = {k: v for k, v in params.items() if k not in disc_keys}
+                d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+                    disc_params, frozen_d,
+                    jax.lax.stop_gradient(aux0["y_rec"]),
+                    jax.lax.stop_gradient(aux0["wav_target"]))
+                params, opt_states = opt.apply(params, d_grads, opt_states, disc_keys)
+                frozen = {k: v for k, v in params.items() if k not in gen_keys}
+
             (g_loss, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
                 gen_params, frozen, batch, key, sigma_data)
             metrics = dict(aux["metrics"])
             metrics["g_loss"] = g_loss
-            params, opt_states = opt.apply(params, grads, opt_states, gen_keys)
-
-            if start_ds:
-                disc_params = {k: params[k] for k in disc_keys}
-                frozen_d = {k: v for k, v in params.items() if k not in disc_keys}
-                d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
-                    disc_params, frozen_d, aux["y_rec"], aux["wav_target"])
-                params, opt_states = opt.apply(params, d_grads, opt_states, disc_keys)
+            if d_loss is not None:
                 metrics["d_loss"] = d_loss
+            params, opt_states = opt.apply(params, grads, opt_states, gen_keys)
 
             if joint:
                 if slm_run_disc:
