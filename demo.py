@@ -73,7 +73,7 @@ def main():
         if args.ckpt.endswith(".pth"):
             zoo.update(convert_reference_checkpoint(args.ckpt, zoo))
         else:
-            params, _, _, _ = load_checkpoint(args.ckpt, zoo)
+            params, _, _, _, _ = load_checkpoint(args.ckpt, zoo)
             zoo.update(params)
     zoo = zoo_to_device(zoo)
     if args.bf16:

@@ -34,6 +34,10 @@ META_SUFFIX = ".meta.json"
 
 def save_checkpoint(path: str, zoo: Mapping, opt_states: Optional[Mapping] = None,
                     epoch: int = 0, iters: int = 0, extra: Optional[Dict] = None):
+    # np.savez appends ".npz" to other extensions silently; normalize up front
+    # so the meta sidecar always sits next to the real archive name.
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     flat = {f"net.{k}": np.asarray(v) for k, v in flatten(zoo).items()}
     if opt_states is not None:
         opt_flat, opt_tree = _flatten_pytree(opt_states)
@@ -49,13 +53,17 @@ def save_checkpoint(path: str, zoo: Mapping, opt_states: Optional[Mapping] = Non
 
 def load_checkpoint(path: str, zoo: Optional[Mapping] = None,
                     opt_template: Optional[Mapping] = None):
-    """Returns (zoo_params, opt_states | None, epoch, iters)."""
+    """Returns (zoo_params, opt_states | None, epoch, iters, extra).
+
+    ``extra`` is the free-form meta dict stored by :func:`save_checkpoint`
+    (e.g. ``sigma_data`` for stage-2 resume, ref: train_second.py:1218-1224).
+    """
     if not path.endswith(".npz") and os.path.exists(path + ".npz"):
         path = path + ".npz"
     data = np.load(path)
     net_flat = {k[len("net."):]: data[k] for k in data.files if k.startswith("net.")}
     params = nest(net_flat)
-    meta = {"epoch": 0, "iters": 0}
+    meta = {"epoch": 0, "iters": 0, "extra": {}}
     if os.path.exists(path + META_SUFFIX):
         meta.update(json.load(open(path + META_SUFFIX)))
     opt_states = None
@@ -64,7 +72,7 @@ def load_checkpoint(path: str, zoo: Optional[Mapping] = None,
         if opt_leaves:
             treedef = jax.tree_util.tree_structure(opt_template)
             opt_states = jax.tree_util.tree_unflatten(treedef, opt_leaves)
-    return params, opt_states, meta["epoch"], meta["iters"]
+    return params, opt_states, meta["epoch"], meta["iters"], meta.get("extra", {})
 
 
 def _flatten_pytree(tree):

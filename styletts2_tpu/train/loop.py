@@ -64,18 +64,30 @@ def run_stage1(
     mesh=None,
     max_steps: Optional[int] = None,
     log_cb: Optional[Callable[[int, Dict], None]] = None,
+    resume_from: Optional[str] = None,
 ) -> TrainState:
     mesh = mesh or make_mesh()
     opt = MultiOptimizer(zoo, make_lr_map(cfg), default_lr=cfg.optimizer_params.lr)
     trainer = Stage1Trainer(cfg, configs, opt)
     state = TrainState(replicate_params(zoo, mesh), None)
     state.opt_states = replicate_params(opt.init(zoo), mesh)
+    if resume_from:
+        # full resume: params + optimizer states + counters
+        # (ref: models.py:1231-1238 load_only_params=False semantics)
+        params, opt_states, epoch0, iters0, _ = load_checkpoint(
+            resume_from, zoo, opt_template=opt.init(zoo))
+        state.params = replicate_params(params, mesh)
+        if opt_states is not None:
+            state.opt_states = replicate_params(opt_states, mesh)
+        state.epoch, state.iters = epoch0, iters0
+        logger.info("resumed stage1 from %s at epoch %d, iter %d",
+                    resume_from, epoch0, iters0)
 
     steps_done = 0
     key = jax.random.PRNGKey(0)
     step_cache: Dict = {}
     with mesh:
-        for epoch in range(cfg.epochs_1st):
+        for epoch in range(state.epoch, cfg.epochs_1st):
             tma = epoch >= cfg.loss_params.TMA_epoch
             t0 = time.time()
             for i, batch in enumerate(train_loader(epoch)):
@@ -102,8 +114,11 @@ def run_stage1(
                 _run_validation(cfg, configs, state, val_loader, epoch, log_cb,
                                 stage=1)
             if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
+                # meta stores state.epoch (= next epoch to run) so a resume
+                # picks up exactly where this save left off
                 save_checkpoint(os.path.join(cfg.log_dir, f"epoch_1st_{epoch:05d}.npz"),
-                                state.params, state.opt_states, epoch, state.iters)
+                                state.params, state.opt_states, state.epoch,
+                                state.iters)
     if cfg.log_dir:
         save_checkpoint(os.path.join(cfg.log_dir, cfg.first_stage_path),
                         state.params, state.opt_states, state.epoch, state.iters)
@@ -120,6 +135,7 @@ def run_stage2(
     max_steps: Optional[int] = None,
     finetune: bool = False,
     log_cb: Optional[Callable[[int, Dict], None]] = None,
+    resume_from: Optional[str] = None,
 ) -> TrainState:
     mesh = mesh or make_mesh()
     opt = MultiOptimizer(zoo, make_lr_map(cfg), default_lr=cfg.optimizer_params.lr)
@@ -127,6 +143,16 @@ def run_stage2(
     state = TrainState(replicate_params(zoo, mesh), None,
                        sigma_data=cfg.model_params.diffusion.dist.sigma_data)
     state.opt_states = replicate_params(opt.init(zoo), mesh)
+    if resume_from:
+        params, opt_states, epoch0, iters0, extra = load_checkpoint(
+            resume_from, zoo, opt_template=opt.init(zoo))
+        state.params = replicate_params(params, mesh)
+        if opt_states is not None:
+            state.opt_states = replicate_params(opt_states, mesh)
+        state.epoch, state.iters = epoch0, iters0
+        state.sigma_data = float(extra.get("sigma_data", state.sigma_data))
+        logger.info("resumed stage2 from %s at epoch %d, iter %d",
+                    resume_from, epoch0, iters0)
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
@@ -134,7 +160,7 @@ def run_stage2(
     steps_done = 0
     epochs = cfg.epochs if finetune else cfg.epochs_2nd
     with mesh:
-        for epoch in range(epochs):
+        for epoch in range(state.epoch, epochs):
             diff = finetune or epoch >= cfg.loss_params.diff_epoch
             joint = finetune or epoch >= cfg.loss_params.joint_epoch
             start_ds = finetune or epoch >= cfg.loss_params.diff_epoch
@@ -145,13 +171,19 @@ def run_stage2(
                 num_steps = int(rng.integers(3, 5))
                 run_disc = joint and ((i + 1) % cfg.slmadv_params.iter == 0)
                 use_ind = joint and bool(rng.random() < 0.5)
-                skey = (diff, joint, start_ds, mel_len, num_steps, run_disc, use_ind)
+                # host-level randint draws of the reference disc branch
+                # (ref: slmadv.py:214-219, 227, 236)
+                use_rec = run_disc and bool(rng.integers(0, 2))
+                real_alt = use_rec and bool(rng.integers(0, 2))
+                skey = (diff, joint, start_ds, mel_len, num_steps, run_disc,
+                        use_ind, use_rec, real_alt)
                 if skey not in step_cache:
                     step_cache[skey] = trainer.make_step(
                         diff, joint, start_ds, mel_len, mel_len, num_steps,
                         slm_run_disc=run_disc, slm_use_ind=use_ind,
                         slm_frame_capacity=_bucket(cfg.slmadv_params.max_len, 50),
-                        finetune=finetune)
+                        finetune=finetune, slm_use_rec=use_rec,
+                        slm_real_alt=real_alt)
                 out = step_cache[skey](state.params, state.opt_states,
                                        shard_batch(batch, mesh),
                                        jax.random.fold_in(key, state.iters),
@@ -171,8 +203,13 @@ def run_stage2(
             if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
                 tag = "ft" if finetune else "2nd"
                 save_checkpoint(os.path.join(cfg.log_dir, f"epoch_{tag}_{epoch:05d}.npz"),
-                                state.params, state.opt_states, epoch, state.iters,
-                                extra={"sigma_data": state.sigma_data})
+                                state.params, state.opt_states, state.epoch,
+                                state.iters, extra={"sigma_data": state.sigma_data})
+    if cfg.log_dir:
+        tag = "ft" if finetune else "2nd"
+        save_checkpoint(os.path.join(cfg.log_dir, f"{tag}_stage.npz"),
+                        state.params, state.opt_states, state.epoch, state.iters,
+                        extra={"sigma_data": state.sigma_data})
     return state
 
 

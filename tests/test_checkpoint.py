@@ -18,8 +18,9 @@ def test_npz_roundtrip(tmp_path):
     zoo, _ = tiny_zoo(include_slm=False)
     path = str(tmp_path / "test.npz")
     ckpt.save_checkpoint(path, zoo, epoch=3, iters=77, extra={"sigma_data": 0.23})
-    params, _, epoch, iters = ckpt.load_checkpoint(path, zoo)
+    params, _, epoch, iters, extra = ckpt.load_checkpoint(path, zoo)
     assert epoch == 3 and iters == 77
+    assert extra == {"sigma_data": 0.23}
     for (ka, va), (kb, vb) in zip(sorted(flatten(zoo).items()),
                                   sorted(flatten(params).items())):
         assert ka == kb

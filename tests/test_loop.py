@@ -35,15 +35,41 @@ def fake_loader(n_batches=2, b=2, frames=96, t_text=12):
 def test_run_stage1_two_steps(tmp_path):
     zoo, cfgs = tiny_zoo()
     cfg = dataclasses.replace(tiny_config(), epochs_1st=1, log_dir=str(tmp_path),
-                              save_freq=1, max_len=400)
+                              save_freq=1, max_len=400, log_interval=1)
     logs = []
-    state = run_stage1(cfg, cfgs, zoo, fake_loader(), max_steps=2,
+    # no max_steps: the 2-batch loader completes the single epoch, so the
+    # per-epoch and terminal checkpoints must both be written
+    state = run_stage1(cfg, cfgs, zoo, fake_loader(),
                        mesh=make_mesh(n_data=2),
                        log_cb=lambda s, m: logs.append(m))
     assert state.iters == 2
-    # terminal first-stage checkpoint is written when the epoch loop completes
-    # (max_steps returns early here, so only assert state progressed)
-    assert np.isfinite(sum(v for m in logs for v in m.values())) or True
+    assert state.epoch == 1
+    assert logs, "log_cb was never invoked"
+    for m in logs:
+        for k, v in m.items():
+            assert np.isfinite(v), f"non-finite metric {k}={v}"
+    assert (tmp_path / "epoch_1st_00000.npz").exists()
+    assert (tmp_path / (cfg.first_stage_path + ".npz")).exists()
+
+
+def test_run_stage1_resume(tmp_path):
+    """Kill after one epoch, resume, verify epoch/iter/opt-state continuity
+    (ref: models.py:1231-1238 load_only_params=False semantics)."""
+    zoo, cfgs = tiny_zoo()
+    cfg = dataclasses.replace(tiny_config(), epochs_1st=1, log_dir=str(tmp_path),
+                              save_freq=1, max_len=400)
+    mesh = make_mesh(n_data=2)
+    run_stage1(cfg, cfgs, zoo, fake_loader(), mesh=mesh)
+    ckpt = tmp_path / "epoch_1st_00000.npz"
+    assert ckpt.exists()
+
+    # fresh zoo + resume: must pick up at epoch 1 / iter 2 and run one more epoch
+    zoo2, _ = tiny_zoo()
+    cfg2 = dataclasses.replace(cfg, epochs_1st=2)
+    state = run_stage1(cfg2, cfgs, zoo2, fake_loader(), mesh=mesh,
+                       resume_from=str(ckpt))
+    assert state.epoch == 2
+    assert state.iters == 4
 
 
 def test_run_stage2_two_steps(tmp_path):
