@@ -62,6 +62,11 @@ def slm_adversarial(
     run_discriminator: bool,         # static: every `iter` steps
     frame_capacity: int,             # static Gaussian-alignment frame budget
     mel_len: Optional[int] = None,   # static clip length in en-frames
+    use_rec: bool = False,           # static: host randint — real branch uses the
+                                     # reconstruction instead of GT clips
+                                     # (ref: slmadv.py:214-219)
+    real_alt: bool = False,          # static: host randint — cropped vs full real
+                                     # in the LSGAN term (ref: slmadv.py:227, 236)
 ) -> SlmAdvOut:
     b, length = ref_texts.shape
     style_dim = mp.style_dim
@@ -152,21 +157,76 @@ def slm_adversarial(
                                   sample_weights=weights)
 
     if run_discriminator:
-        use_rec = jax.random.bernoulli(jax.random.fold_in(key, 47))
-        real = jnp.where(use_rec,
-                         y_rec_gt_pred[:, : wav.shape[-1]],
-                         wav[:, : y_rec_gt_pred.shape[-1]] if y_rec_gt_pred.shape[-1] <= wav.shape[-1] else wav)
-        d_loss = slm_discriminator_loss(
-            zoo["slm_encoder"], zoo["wd"], jax.lax.stop_gradient(real),
-            jax.lax.stop_gradient(y_pred), whisper_cfg, mp.slm.hop_length,
-            sample_weights=weights)
-        # reconstruction-invariance regularizer (ref: slmadv.py:245-249)
-        out_gt = slm_discriminator_forward(zoo["slm_encoder"], zoo["wd"], y_rec_gt,
-                                           whisper_cfg, mp.slm.hop_length)
-        out_rec = slm_discriminator_forward(zoo["slm_encoder"], zoo["wd"], y_rec_gt_pred,
-                                            whisper_cfg, mp.slm.hop_length)
-        d_loss = d_loss + jnp.mean(jnp.abs(out_gt - out_rec)) * enough
+        d_loss = _slm_discriminator_step(
+            zoo, whisper_cfg, mp, wav, y_pred, y_rec_gt, y_rec_gt_pred,
+            weights, enough, use_rec, real_alt)
     else:
         d_loss = jnp.zeros(())
 
     return SlmAdvOut(d_loss, gen_loss, vf.mean())
+
+
+def _per_sample_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """L1 over all non-batch axes -> (B,)."""
+    diff = jnp.abs(a - b)
+    return diff.reshape(diff.shape[0], -1).mean(axis=-1)
+
+
+def _weighted_mean(per_sample: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    w = weights.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _slm_discriminator_step(zoo, whisper_cfg, mp, wav, y_pred, y_rec_gt,
+                            y_rec_gt_pred, weights, enough, use_rec, real_alt):
+    """The reference's every-``skip_update``-iters discriminator branch with
+    both regularizers (ref: slmadv.py:212-249), masked-uniform.
+
+    ``use_rec``/``real_alt`` are the host-level ``np.random.randint(0, 2)``
+    draws; here they are static flags so both code paths keep static shapes.
+    When ``use_rec``: the real branch is the stage-2 reconstruction clip, the
+    shorter of (real, fake) defines the crop, and the *length-invariance*
+    regularizer L1(disc(cropped), disc(full)[:len]) teaches the discriminator
+    to ignore clip-length differences; the *reconstruction-invariance*
+    regularizer L1(disc(gt), disc(rec)) teaches it to ignore vocoder
+    artifacts."""
+    hop = mp.slm.hop_length
+    fwd = lambda x: slm_discriminator_forward(zoo["slm_encoder"], zoo["wd"], x,
+                                              whisper_cfg, hop)
+    d_fake = jax.lax.stop_gradient(y_pred)
+    if not use_rec:
+        return slm_discriminator_loss(
+            zoo["slm_encoder"], zoo["wd"], jax.lax.stop_gradient(wav), d_fake,
+            whisper_cfg, hop, sample_weights=weights)
+
+    rec = jax.lax.stop_gradient(y_rec_gt_pred)
+    t_rec, t_p = rec.shape[-1], y_pred.shape[-1]
+    crop = min(t_rec, t_p)
+    if t_rec > t_p:
+        # real is longer: crop the real branch (ref: slmadv.py:222-231)
+        real_gp = rec[:, :crop]
+        out_crop, out_org = fwd(real_gp), fwd(rec)
+        loss_reg = _weighted_mean(
+            _per_sample_l1(out_crop, out_org[..., : out_crop.shape[-1]]),
+            jnp.full(rec.shape[:1], enough))
+        d_real = real_gp if real_alt else rec
+        d_loss = slm_discriminator_loss(
+            zoo["slm_encoder"], zoo["wd"], d_real, d_fake,
+            whisper_cfg, hop, sample_weights=weights)
+    else:
+        # fake is longer: crop the fake branch (ref: slmadv.py:232-241)
+        fake_gp = d_fake[:, :crop]
+        out_crop, out_org = fwd(fake_gp), fwd(d_fake)
+        loss_reg = _weighted_mean(
+            _per_sample_l1(out_crop, out_org[..., : out_crop.shape[-1]]),
+            weights)
+        d_loss = slm_discriminator_loss(
+            zoo["slm_encoder"], zoo["wd"], rec,
+            fake_gp if real_alt else d_fake,
+            whisper_cfg, hop, sample_weights=weights)
+    d_loss = d_loss + loss_reg
+
+    # reconstruction-invariance regularizer (ref: slmadv.py:243-249)
+    out_gt = fwd(y_rec_gt)
+    out_rec = fwd(y_rec_gt_pred)
+    return d_loss + jnp.mean(jnp.abs(out_gt - out_rec)) * enough

@@ -71,6 +71,51 @@ def test_stage2_step(phase):
     assert np.isfinite(float(out.sigma_data))
 
 
+@pytest.mark.parametrize("rec_frames", [8, 4])
+def test_slmadv_discriminator_regularizers(rec_frames):
+    """The use_rec discriminator branch adds the length-invariance and
+    reconstruction-invariance regularizers on both the real-longer
+    (rec_frames=8 -> T_rec > T_pred) and fake-longer (rec_frames=4) paths
+    (ref: Modules/slmadv.py:212-249)."""
+    from styletts2_tpu.losses.slmadv import slm_adversarial
+    from styletts2_tpu.losses.slm import slm_discriminator_loss
+
+    zoo, cfgs = tiny_zoo()
+    cfg = tiny_config()
+    mp = cfgs["model"]
+    adv = cfg.slmadv_params
+    rng = np.random.default_rng(3)
+    b, t_text, frames = 2, 10, 64
+    mel_len = min(adv.min_len // 2, 6)           # -> T_pred = 6*2*300
+    t_rec = rec_frames * 2 * 300
+
+    kwargs = dict(
+        ref_texts=jnp.asarray(rng.integers(4, 170, (b, t_text)), jnp.int32),
+        ref_lengths=jnp.array([t_text, t_text - 2], jnp.int32),
+        waves=jnp.asarray(rng.standard_normal((b, frames * 300)) * 0.1, jnp.float32),
+        mel_input_length=jnp.array([frames, frames - 6], jnp.int32),
+        y_rec_gt=jnp.asarray(rng.standard_normal((b, t_rec)) * 0.1, jnp.float32),
+        y_rec_gt_pred=jnp.asarray(rng.standard_normal((b, t_rec)) * 0.1, jnp.float32),
+        s_trg=jnp.asarray(rng.standard_normal((b, mp.style_dim * 2)) * 0.1, jnp.float32),
+        ref_style=None, num_steps=3, use_ind_style=True,
+        run_discriminator=True, frame_capacity=32, mel_len=mel_len,
+    )
+    run = lambda **kw: slm_adversarial(
+        zoo, jax.random.PRNGKey(5), mp, cfgs["plbert"], cfgs["whisper"], adv,
+        **{**kwargs, **kw})
+
+    out_plain = run(use_rec=False)
+    out_rec = run(use_rec=True)
+    out_rec_alt = run(use_rec=True, real_alt=True)
+    for out in (out_plain, out_rec, out_rec_alt):
+        assert np.isfinite(float(out.d_loss))
+        assert float(out.d_loss) > 0
+    # the regularized branch differs from the plain LSGAN branch, and the
+    # cropped-vs-full real choice changes the loss too
+    assert abs(float(out_rec.d_loss) - float(out_plain.d_loss)) > 1e-6
+    assert abs(float(out_rec_alt.d_loss) - float(out_rec.d_loss)) > 1e-8
+
+
 def test_stage1_step_bf16():
     zoo, cfgs = tiny_zoo()
     cfg = tiny_config()
