@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+from ..parallel.distributed import host_global_min, is_main_process
 from ..parallel.mesh import make_mesh, replicate_params, shard_batch
 from .checkpoint import load_checkpoint, save_checkpoint
 from .optimizers import MultiOptimizer
@@ -39,9 +40,12 @@ class TrainState:
 
 
 def _clip_lengths(mel_lengths: np.ndarray, max_len: int) -> int:
-    """Static clip length for this batch: global min over the (host-visible)
-    batch, like the reference's gathered min (ref: train_first.py:348-350)."""
-    return max(2, min(int(mel_lengths.min()) // 2 - 1, max_len // 2))
+    """Static clip length for this batch: global min over the batch — the
+    host-local min pushed through cross-host consensus, like the reference's
+    gathered min (ref: train_first.py:348-350).  All hosts must agree because
+    this value selects the compiled step variant."""
+    local = max(2, min(int(mel_lengths.min()) // 2 - 1, max_len // 2))
+    return host_global_min(local)
 
 
 def _bucket(n: int, m: int = 4) -> int:
@@ -112,14 +116,15 @@ def run_stage1(
             logger.info("stage1 epoch %d done in %.1fs", epoch, time.time() - t0)
             if val_loader is not None:
                 _run_validation(cfg, configs, state, val_loader, epoch, log_cb,
-                                stage=1)
-            if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
+                                stage=1, mesh=mesh)
+            if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0 and is_main_process():
                 # meta stores state.epoch (= next epoch to run) so a resume
-                # picks up exactly where this save left off
+                # picks up exactly where this save left off; host-0 only
+                # (ref: accelerator.is_main_process, train_first.py:545-556)
                 save_checkpoint(os.path.join(cfg.log_dir, f"epoch_1st_{epoch:05d}.npz"),
                                 state.params, state.opt_states, state.epoch,
                                 state.iters)
-    if cfg.log_dir:
+    if cfg.log_dir and is_main_process():
         save_checkpoint(os.path.join(cfg.log_dir, cfg.first_stage_path),
                         state.params, state.opt_states, state.epoch, state.iters)
     return state
@@ -199,13 +204,13 @@ def run_stage2(
             state.epoch = epoch + 1
             if val_loader is not None:
                 _run_validation(cfg, configs, state, val_loader, epoch, log_cb,
-                                stage=2)
-            if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
+                                stage=2, mesh=mesh)
+            if cfg.log_dir and (epoch + 1) % cfg.save_freq == 0 and is_main_process():
                 tag = "ft" if finetune else "2nd"
                 save_checkpoint(os.path.join(cfg.log_dir, f"epoch_{tag}_{epoch:05d}.npz"),
                                 state.params, state.opt_states, state.epoch,
                                 state.iters, extra={"sigma_data": state.sigma_data})
-    if cfg.log_dir:
+    if cfg.log_dir and is_main_process():
         tag = "ft" if finetune else "2nd"
         save_checkpoint(os.path.join(cfg.log_dir, f"{tag}_stage.npz"),
                         state.params, state.opt_states, state.epoch, state.iters,
@@ -213,7 +218,8 @@ def run_stage2(
     return state
 
 
-def _run_validation(cfg, configs, state, val_loader, epoch, log_cb, stage: int):
+def _run_validation(cfg, configs, state, val_loader, epoch, log_cb, stage: int,
+                    mesh=None):
     """Per-epoch validation + qualitative sample dumps
     (ref: train_first.py:457-545, train_second.py:949-1193)."""
     from .validate import make_stage1_val_step, make_stage2_val_step
@@ -231,14 +237,16 @@ def _run_validation(cfg, configs, state, val_loader, epoch, log_cb, stage: int):
             first_batch = batch
         if mel_len not in step_cache:
             step_cache[mel_len] = make(cfg, configs, mel_len)
-        out = step_cache[mel_len](state.params, batch,
+        dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
+        out = step_cache[mel_len](state.params, dev_batch,
                                   jax.random.PRNGKey(epoch))
         for k, v in out.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         count += 1
     if count and log_cb:
         log_cb(state.iters, {f"val_{k}": v / count for k, v in totals.items()})
-    if first_batch is not None and cfg.log_dir and (epoch + 1) % cfg.save_freq == 0:
+    if (first_batch is not None and cfg.log_dir
+            and (epoch + 1) % cfg.save_freq == 0 and is_main_process()):
         try:
             from .samples import generate_samples
 

@@ -49,6 +49,11 @@ def main():
                     help="ignore existing epoch checkpoints, start fresh")
     args = ap.parse_args()
 
+    from styletts2_tpu.parallel.distributed import (
+        initialize_distributed, is_main_process)
+
+    initialize_distributed()  # no-op unless a multi-host job is configured
+
     import jax
 
     from styletts2_tpu.config import load_config
@@ -59,7 +64,7 @@ def main():
     from styletts2_tpu.train.loop import run_stage1
     from styletts2_tpu.utils import MetricsWriter
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO if is_main_process() else logging.WARNING)
     cfg = load_config(args.config_path)
     os.makedirs(cfg.log_dir, exist_ok=True)
     cfg = grow_n_token(cfg)
@@ -71,10 +76,13 @@ def main():
 
     train_loader = build_dataloader(
         train_list, cfg.data_params.root_path, OOD_data=cfg.data_params.OOD_data,
-        min_length=cfg.data_params.min_length, batch_size=cfg.batch_size)
+        min_length=cfg.data_params.min_length, batch_size=cfg.batch_size,
+        num_workers=cfg.data_params.num_workers,
+        prefetch_batches=cfg.data_params.prefetch_batches)
     val_loader = build_dataloader(
         val_list, cfg.data_params.root_path, validation=True,
-        OOD_data=cfg.data_params.OOD_data, batch_size=cfg.batch_size)
+        OOD_data=cfg.data_params.OOD_data, batch_size=cfg.batch_size,
+        num_workers=min(2, cfg.data_params.num_workers))
 
     configs = zoo_configs(cfg.model_params)
     zoo = build_zoo(jax.random.PRNGKey(0), cfg.model_params)
@@ -102,9 +110,12 @@ def main():
             zoo.update(params)
     zoo = zoo_to_device(zoo)
 
-    writer = MetricsWriter(cfg.log_dir)
+    # metric files are written by host 0 only (ref: accelerator.is_main_process)
+    writer = MetricsWriter(cfg.log_dir) if is_main_process() else None
 
     def log_cb(step, metrics):
+        if writer is None:
+            return
         writer.add_scalars(step, metrics)
         logging.info("step %d | %s", step,
                      " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
@@ -114,7 +125,8 @@ def main():
                    max_steps=args.max_steps, log_cb=log_cb,
                    resume_from=resume_from)
     finally:
-        writer.close()
+        if writer is not None:
+            writer.close()
 
 
 if __name__ == "__main__":
