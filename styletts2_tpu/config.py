@@ -59,6 +59,9 @@ class DataParams:
     min_length: int = 50
     phoneme_dict_path: Optional[str] = None
     phoneme_dictionary_config: Optional[Mapping] = None
+    # host data-pipeline throughput (DataLoader workers/prefetch equivalent)
+    num_workers: int = 8
+    prefetch_batches: int = 2
 
 
 @dataclass(frozen=True)

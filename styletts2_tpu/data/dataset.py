@@ -40,6 +40,30 @@ class UnreadableAudioError(RuntimeError):
     """Raised when an audio file cannot be read (ref: meldataset.py:14-17)."""
 
 
+def _read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Format-dispatching audio reader (ref: meldataset.py:149-170 reads via
+    soundfile; here WAV is decoded with scipy and FLAC with the in-tree
+    native decoder).  Dispatch is by magic bytes, not extension."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+    except OSError as exc:
+        raise UnreadableAudioError(f"Failed to open '{path}': {exc}") from exc
+    if magic == b"fLaC":
+        from ..native import read_flac as _dec
+    elif magic == b"OggS":
+        from ..native import read_ogg as _dec
+    elif magic[:3] == b"ID3" or (len(magic) >= 2 and magic[0] == 0xFF
+                                 and (magic[1] & 0xE0) == 0xE0):
+        from ..native import read_mp3 as _dec
+    else:
+        return _read_wav(path)
+    try:
+        return _dec(path)
+    except RuntimeError as exc:
+        raise UnreadableAudioError(str(exc)) from exc
+
+
 def _read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Minimal-dependency WAV reader (PCM16/24/32/float32)."""
     try:
@@ -127,13 +151,21 @@ class FilePathDataset:
         return np.asarray(ids, dtype=np.int32)
 
     def _load_wave(self, rel_path: str) -> np.ndarray:
-        wave, sr = _read_wav(os.path.join(self.root_path, rel_path))
+        wave, sr = _read_audio(os.path.join(self.root_path, rel_path))
         if sr != self.sr:
             wave = _resample_np(wave, sr, self.sr)
         return np.concatenate([np.zeros(5000, np.float32), wave,
                                np.zeros(5000, np.float32)])
 
-    def __getitem__(self, idx: int) -> Sample:
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None
+                    ) -> Sample:
+        """Fetch + decode one sample.
+
+        ``rng`` overrides the dataset-level generator for the
+        reference/OOD draws; worker threads pass a per-sample generator so
+        parallel decode is deterministic and lock-free.
+        """
+        rng = self.rng if rng is None else rng
         attempts = 0
         current = idx
         while attempts < len(self.data_list):
@@ -156,7 +188,7 @@ class FilePathDataset:
         ref_candidates = self._by_speaker.get(speaker, [current])
         ref_wave = None
         for _ in range(len(ref_candidates)):
-            cand = self.data_list[int(self.rng.choice(ref_candidates))]
+            cand = self.data_list[int(rng.choice(ref_candidates))]
             try:
                 ref_wave = self._load_wave(cand[0])
                 break
@@ -169,7 +201,7 @@ class FilePathDataset:
         ps = ""
         if self.ptexts:
             while len(ps) < self.min_length:
-                ps = self.ptexts[int(self.rng.integers(0, len(self.ptexts) - 1))]
+                ps = self.ptexts[int(rng.integers(0, len(self.ptexts) - 1))]
         ref_tokens = self._tokens(ps) if ps else tokens
 
         return Sample(int(row[2]) if row[2].isdigit() else 0, wave, tokens,
@@ -250,8 +282,38 @@ def build_dataloader(
     seed: int = 1,
     collate_config: Optional[Dict] = None,
     dataset_config: Optional[Dict] = None,
+    num_shards: Optional[int] = None,
+    shard_index: Optional[int] = None,
+    num_workers: int = 0,
+    prefetch_batches: int = 2,
 ):
-    """Simple shuffling batch iterator factory (ref: meldataset.py:258-295)."""
+    """Shuffling batch iterator factory (ref: meldataset.py:258-295).
+
+    Multi-host: ``batch_size`` is the *global* batch; each host yields its
+    ``batch_size // num_shards`` shard, taken from a shuffle driven by the
+    shared seed so every host sees a disjoint, equally-sized slice of the
+    same global order (the ``split_batches=True`` semantics of
+    ref train_first.py:127-135).  ``num_shards``/``shard_index`` default to
+    ``jax.process_count()`` / ``jax.process_index()`` at build time.
+
+    Throughput: ``num_workers > 0`` decodes samples on a thread pool and
+    collates batches on a background producer feeding a bounded queue of
+    ``prefetch_batches`` ready batches (the DataLoader worker/prefetch
+    equivalent, ref: meldataset.py:277-293) — the host keeps the accelerator
+    fed instead of stalling on audio decode.  Per-sample RNG streams keep
+    reference/OOD draws deterministic regardless of thread scheduling.
+    """
+    if num_shards is None:
+        import jax
+
+        num_shards = jax.process_count()
+        shard_index = jax.process_index() if shard_index is None else shard_index
+    shard_index = shard_index or 0
+    if batch_size % num_shards:
+        raise ValueError(f"global batch_size {batch_size} must divide evenly "
+                         f"across {num_shards} hosts")
+    local_bs = batch_size // num_shards
+
     ds_cfg = dict(dataset_config or {})
     dataset = FilePathDataset(path_list, root_path, validation=validation,
                               OOD_data=OOD_data, min_length=min_length, **ds_cfg)
@@ -259,17 +321,94 @@ def build_dataloader(
     if drop_last is None:
         drop_last = not validation
 
-    def loader(epoch: int = 0):
+    def _epoch_batches(epoch: int):
         order = np.arange(len(dataset))
         if not validation:
             np.random.default_rng(seed + epoch).shuffle(order)
-        for start in range(0, len(order), batch_size):
-            idxs = order[start: start + batch_size]
-            if len(idxs) < batch_size and drop_last:
+        if num_shards > 1:
+            # equal per-host slice counts: truncate to a multiple of the
+            # global batch, then each global batch contributes a contiguous
+            # local_bs block per host
+            usable = (len(order) // batch_size) * batch_size
+            order = order[:usable]
+            order = order.reshape(-1, num_shards, local_bs)[:, shard_index, :].reshape(-1)
+        out = []
+        for start in range(0, len(order), local_bs):
+            idxs = order[start: start + local_bs]
+            if len(idxs) < local_bs and drop_last:
                 break
-            yield collater([dataset[int(i)] for i in idxs])
+            out.append(idxs)
+        return out
+
+    def loader(epoch: int = 0):
+        batches = _epoch_batches(epoch)
+        if num_workers <= 0:
+            for idxs in batches:
+                yield collater([dataset[int(i)] for i in idxs])
+            return
+        yield from _prefetched_epoch(dataset, collater, batches, epoch, seed,
+                                     num_workers, prefetch_batches)
 
     loader.dataset = dataset
     loader.collater = collater
     loader.batch_size = batch_size
+    loader.local_batch_size = local_bs
     return loader
+
+
+def _prefetched_epoch(dataset, collater, batches, epoch, seed,
+                      num_workers, prefetch_batches):
+    """Background-producer epoch: a thread pool decodes samples, a producer
+    thread collates and fills a bounded queue ahead of the consumer."""
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_batches))
+    stop = threading.Event()
+    _DONE = object()
+
+    def _fetch(i):
+        # per-sample stream: deterministic under any thread interleaving
+        rng = np.random.default_rng([seed, epoch, int(i)])
+        return dataset.__getitem__(int(i), rng=rng)
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _produce():
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as ex:
+                window: list = []
+                for idxs in batches:
+                    window.append([ex.submit(_fetch, i) for i in idxs])
+                    if len(window) > prefetch_batches:
+                        futs = window.pop(0)
+                        if not _put(collater([f.result() for f in futs])):
+                            return
+                for futs in window:
+                    if not _put(collater([f.result() for f in futs])):
+                        return
+            _put(_DONE)
+        except BaseException as exc:  # surfaced on the consumer side
+            _put(exc)
+
+    thread = threading.Thread(target=_produce, daemon=True,
+                              name="styletts2-data-producer")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
