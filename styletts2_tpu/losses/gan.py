@@ -19,13 +19,15 @@ def feature_loss(fmap_r: Sequence, fmap_g: Sequence) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss = loss + jnp.mean(jnp.abs(rl - gl))
+            # f32 accumulation: fmaps may be bf16 under mixed precision
+            loss = loss + jnp.mean(jnp.abs(rl - gl), dtype=jnp.float32)
     return loss * 2.0
 
 
 def discriminator_loss(real_outputs: Sequence, generated_outputs: Sequence) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(real_outputs, generated_outputs):
+        dr, dg = dr.astype(jnp.float32), dg.astype(jnp.float32)
         loss = loss + jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
     return loss
 
@@ -33,11 +35,12 @@ def discriminator_loss(real_outputs: Sequence, generated_outputs: Sequence) -> j
 def generator_loss(generated_outputs: Sequence) -> jnp.ndarray:
     loss = 0.0
     for dg in generated_outputs:
-        loss = loss + jnp.mean((1.0 - dg) ** 2)
+        loss = loss + jnp.mean((1.0 - dg.astype(jnp.float32)) ** 2)
     return loss
 
 
 def _tprls(dr: jnp.ndarray, dg: jnp.ndarray) -> jnp.ndarray:
+    dr, dg = dr.astype(jnp.float32), dg.astype(jnp.float32)
     diff = dr - dg
     m_dg = jnp.median(diff)
     mask = dr < dg + m_dg

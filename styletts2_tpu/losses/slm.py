@@ -74,7 +74,9 @@ def slm_feature_loss(
     y_states, _ = slm_encode(whisper_params, y_rec, t, cfg)
     loss = 0.0
     for real, gen in zip(wav_states, y_states):
-        loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(real) - gen))
+        # accumulate in f32: a bf16 mean over B*T*D elements drops bits
+        loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(real) - gen),
+                               dtype=jnp.float32)
     return loss / len(wav_states)
 
 

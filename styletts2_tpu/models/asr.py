@@ -261,7 +261,8 @@ def asr_encode(params: Dict, mels: jnp.ndarray, cfg: ASRConfig = ASRConfig(),
     tap/condition the encoder between stages and their logits are written
     into ``aux`` (ref: Utils/ASR/models.py:424-458).
     """
-    dct = jnp.asarray(_dct_matrix(cfg.n_mfcc, cfg.input_dim))
+    mels = cm.autocast(params, mels)  # fp32-pinned mel -> encoder dtype
+    dct = jnp.asarray(_dct_matrix(cfg.n_mfcc, cfg.input_dim), dtype=mels.dtype)
     mfcc = jnp.swapaxes(jnp.swapaxes(mels, 1, 2) @ dct, 1, 2)   # (B, 40, T)
     x = _conv_norm(params["init_cnn"], mfcc, stride=2, padding=3)
     n = cfg.n_layers

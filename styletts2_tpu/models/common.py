@@ -199,3 +199,33 @@ def length_to_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
 
 def leaky_relu(x, slope=0.2):
     return jnp.where(x >= 0, x, slope * x)
+
+
+def param_dtype(params) -> Optional[jnp.dtype]:
+    """Floating dtype of a module's parameters (None if there are none)."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return None
+
+
+def autocast(params, *xs):
+    """Cast activations entering a module to the module's parameter dtype.
+
+    The torch reference runs modules under ``accelerator.autocast`` so fp32
+    features (mel/STFT/F0 extractors are fp32-pinned for numerics) compute in
+    bf16 inside bf16 modules.  Without this the first conv promotes to fp32
+    and poisons the whole downstream tower — bf16 then saves no HBM at all.
+    A no-op when dtypes already agree (fp32 training/tests).
+    """
+    dt = param_dtype(params)
+
+    def cast(a):
+        if a is None or dt is None:
+            return a
+        if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != dt:
+            return a.astype(dt)
+        return a
+
+    out = tuple(cast(a) for a in xs)
+    return out if len(out) > 1 else out[0]

@@ -83,7 +83,9 @@ def generator_apply(
     f0_up = jnp.swapaxes(f0_up.reshape(f0.shape[0], 1, -1), 1, 2)
     har_source, _, _ = source_module_apply(
         params["m_source"], key, f0_up, upsample_scale, deterministic=deterministic)
-    har = jnp.swapaxes(har_source, 1, 2)                      # (B, 1, T_audio)
+    # the source's phase integration is fp32-pinned; rejoin the surrounding
+    # compute dtype so a bf16 step isn't promoted to fp32 at the noise convs
+    har = jnp.swapaxes(har_source, 1, 2).astype(x.dtype)      # (B, 1, T_audio)
 
     for i in range(len(rates)):
         x = snake(x, params["alphas"][str(i)])
@@ -158,6 +160,7 @@ def decoder_apply(
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid T_en frames
 ) -> jnp.ndarray:
     """Full HiFi-GAN decoder forward (ref: Modules/hifigan.py:445-474)."""
+    asr, f0_curve, n_curve, s = cm.autocast(params, asr, f0_curve, n_curve, s)
     if train and key is not None:
         f0_curve = random_smooth(jax.random.fold_in(key, 11), f0_curve, (0, 3, 7))
         n_curve = random_smooth(jax.random.fold_in(key, 12), n_curve, (0, 3, 7, 15))

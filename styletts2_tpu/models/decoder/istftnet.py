@@ -97,7 +97,9 @@ def generator_apply(
         params["m_source"], key, f0_up, upsample_scale, deterministic=deterministic)
     har = jax.lax.stop_gradient(har_source[..., 0])               # (B, T_audio)
     har_spec, har_phase = stft_mag_phase(har, n_fft, hop, n_fft)
-    har = jnp.concatenate([har_spec, har_phase], axis=1)          # (B, n_fft+2, F)
+    # the source STFT is fp32-pinned; rejoin the surrounding compute dtype so
+    # a bf16 step doesn't get promoted back to fp32 at the first noise conv
+    har = jnp.concatenate([har_spec, har_phase], axis=1).astype(x.dtype)
 
     for i in range(len(rates)):
         x = cm.leaky_relu(x, 0.1)
@@ -200,6 +202,7 @@ def decoder_apply(
 ) -> jnp.ndarray:
     """Full decoder forward -> waveform (B, 1, T_samples)
     (ref: Modules/istftnet.py:498-527)."""
+    asr, f0_curve, n_curve, s = cm.autocast(params, asr, f0_curve, n_curve, s)
     if train and key is not None:
         f0_curve = random_smooth(jax.random.fold_in(key, 11), f0_curve, (0, 3, 7))
         n_curve = random_smooth(jax.random.fold_in(key, 12), n_curve, (0, 3, 7, 15))

@@ -154,6 +154,7 @@ def denoiser_apply(
     style_conditioned: bool = False,
 ) -> jnp.ndarray:
     """One denoiser forward, returns (B, 1, channels)."""
+    x, time, embedding, features = cm.autocast(params, x, time, embedding, features)
     mapping = _gelu(_time_embedding(params["to_time"]["0"], time))
     if features is not None and "to_features" in params:
         f = params["to_features"]["0"]

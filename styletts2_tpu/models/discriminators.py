@@ -66,6 +66,7 @@ def _discriminator_p(p: Dict, x: jnp.ndarray, period: int) -> Tuple[jnp.ndarray,
 
 def mpd_apply(params: Dict, y: jnp.ndarray, y_hat: jnp.ndarray):
     """Returns (real_scores, fake_scores, real_fmaps, fake_fmaps)."""
+    y, y_hat = cm.autocast(params, y, y_hat)
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     for i, period in enumerate(PERIODS):
         p = params["discriminators"][str(i)]
@@ -107,7 +108,8 @@ def _spec_discriminator(p: Dict, x: jnp.ndarray, res) -> Tuple[jnp.ndarray, List
     mag = jnp.abs(stft(x[:, 0, :], n_fft, hop, win, hann_window(win)))
     if DROP_NYQUIST:
         mag = mag[:, :-1, :]
-    y = jnp.swapaxes(mag, 1, 2)[:, None]                     # (B, 1, frames, bins)
+    # the STFT is fp32-pinned; the conv tower runs in the params' dtype
+    y = cm.autocast(p, jnp.swapaxes(mag, 1, 2)[:, None])     # (B, 1, frames, bins)
     fmap = []
     strides = [(1, 1), (1, 2), (1, 2), (1, 2), (1, 1)]
     pads = [(1, 4), (1, 4), (1, 4), (1, 4), (1, 1)]

@@ -124,6 +124,7 @@ def jdc_apply(
     matching the training adapter (ref: train_first.py:41-88).
     """
     x = mels if mels.ndim == 4 else mels[:, None]
+    x = cm.autocast(params, x)
     # layout normalization: mel bins go last (ref: Utils/JDC/model.py:88-109)
     if x.shape[-1] != cfg.mel_bins and x.shape[-2] == cfg.mel_bins:
         x = jnp.swapaxes(x, -1, -2)               # (B, 1, T, mel)

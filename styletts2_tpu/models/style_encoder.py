@@ -126,6 +126,7 @@ def style_encoder_apply(
             f"style encoder input {mel.shape} too small: needs >= "
             f"{5 * (2 ** repeat_num)} mel bins and frames")
     shared = params["shared"]
+    mel = cm.autocast(params, mel)
     x = cm.sn_conv2d(shared["0"], mel, padding=1)
     for i in range(repeat_num):
         x = resblk_apply(shared[str(i + 1)], x)

@@ -146,6 +146,9 @@ def whisper_encoder_apply(
     """Returns all hidden states [embeddings, layer1, ..., layerN] each
     (B, frames//2, d_model), with the final one layer-normed (HF semantics:
     hidden_states[-1] == layer_norm output)."""
+    from . import common as cm
+
+    log_mel = cm.autocast(params, log_mel)  # fp32-pinned mel -> encoder dtype
     h = jax.nn.gelu(conv1d(log_mel, params["conv1"]["weight"], params["conv1"]["bias"],
                            padding=1), approximate=False)
     h = jax.nn.gelu(conv1d(h, params["conv2"]["weight"], params["conv2"]["bias"],

@@ -22,10 +22,15 @@ from .linear import linear
 
 def layer_norm(x: jnp.ndarray, gamma=None, beta=None, eps: float = 1e-5,
                axis: int = -1) -> jnp.ndarray:
-    """LayerNorm over one axis (weight/bias broadcast along that axis)."""
-    mean = x.mean(axis=axis, keepdims=True)
-    var = x.var(axis=axis, keepdims=True)
-    y = (x - mean) / jnp.sqrt(var + eps)
+    """LayerNorm over one axis (weight/bias broadcast along that axis).
+
+    Statistics are accumulated in float32 (a bf16 mean/var over long axes
+    loses too many bits); the normalized result returns in the input dtype.
+    """
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=axis, keepdims=True)
+    var = xf.var(axis=axis, keepdims=True)
+    y = ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
     if gamma is not None:
         shape = [1] * x.ndim
         shape[axis] = x.shape[axis]
@@ -45,9 +50,10 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
                   gamma=None, beta=None) -> jnp.ndarray:
     """InstanceNorm over all spatial axes of (B, C, *spatial)."""
     axes = tuple(range(2, x.ndim))
-    mean = x.mean(axis=axes, keepdims=True)
-    var = x.var(axis=axes, keepdims=True)
-    y = (x - mean) / jnp.sqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=axes, keepdims=True)
+    var = xf.var(axis=axes, keepdims=True)
+    y = ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
     if gamma is not None:
         shape = (1, x.shape[1]) + (1,) * (x.ndim - 2)
         y = y * gamma.reshape(shape) + beta.reshape(shape)
@@ -61,11 +67,12 @@ def masked_instance_norm1d(x: jnp.ndarray, keep: jnp.ndarray,
     With padded batches, unmasked statistics are contaminated by the zero
     region and batched synthesis stops matching exact-length synthesis.
     """
-    k = keep[:, None, :].astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    k = keep[:, None, :].astype(jnp.float32)
     n = jnp.maximum(k.sum(axis=2, keepdims=True), 1.0)
-    mean = (x * k).sum(axis=2, keepdims=True) / n
-    var = (jnp.square(x - mean) * k).sum(axis=2, keepdims=True) / n
-    return (x - mean) / jnp.sqrt(var + eps)
+    mean = (xf * k).sum(axis=2, keepdims=True) / n
+    var = (jnp.square(xf - mean) * k).sum(axis=2, keepdims=True) / n
+    return ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
 
 
 def adain1d(params: dict, x: jnp.ndarray, s: jnp.ndarray, eps: float = 1e-5,

@@ -197,7 +197,7 @@ class Stage1Trainer:
                 return lp.lambda_mel * 0.0 + loss_mel, (metrics, y_rec, wav)
 
             # masked per-token CE over s2s logits (ref: train_first.py:407-411)
-            logits = aux["s2s_pred"][:, :-1, :]            # align to text steps
+            logits = aux["s2s_pred"][:, :-1, :].astype(jnp.float32)  # CE in f32
             tmask = (jnp.arange(logits.shape[1])[None, :] <
                      aux["text_lengths"][:, None]).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)

@@ -166,7 +166,9 @@ class Stage2Trainer:
             # ---- diffusion training -----------------------------------
             if diff:
                 if mp.diffusion.dist.estimate_sigma_data:
-                    sigma_data = jnp.mean(jnp.std(s_trg, axis=-1))
+                    # f32: this scalar round-trips through TrainState across
+                    # steps, so its dtype must not follow the compute dtype
+                    sigma_data = jnp.mean(jnp.std(s_trg.astype(jnp.float32), axis=-1))
                 else:
                     sigma_data = sigma_data_in
 
@@ -268,6 +270,7 @@ class Stage2Trainer:
 
             # duration CE + L1 (ref: train_second.py:741-755), batched+masked
             t_text = texts.shape[1]
+            dur_logits = dur_logits.astype(jnp.float32)  # BCE/log1p in f32
             max_dur = dur_logits.shape[-1]
             token_keep = (jnp.arange(t_text)[None, :] < text_lengths[:, None])
             trg = (jnp.arange(max_dur)[None, None, :] <
@@ -293,7 +296,7 @@ class Stage2Trainer:
 
             if finetune:
                 # TMA losses (ref: train_finetune.py:547-565)
-                logits = s2s_pred[:, :-1, :]
+                logits = s2s_pred[:, :-1, :].astype(jnp.float32)  # CE in f32
                 tk = token_keep.astype(jnp.float32)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, texts[..., None], axis=-1)[..., 0]
