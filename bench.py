@@ -64,15 +64,26 @@ def run_once(engine, mp, token_cap, frame_cap, steps, batch):
         pred_dur = jnp.minimum(pred_dur, frame_cap // token_cap)
         return synth(zoo, t_en, d, s, ref, pred_dur, lengths)
 
-    # warmup/compile
+    # warmup/compile.  block_until_ready does NOT wait for execution on the
+    # tunneled TPU backend; a host fetch is the only true synchronization, so
+    # every iteration's output is folded into one scalar fetched at the end
+    # (forces all iterations to execute; one tunnel RTT amortized over the
+    # loop).
     wav = full(engine.zoo)
-    jax.block_until_ready(wav)
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        wav = full(engine.zoo)
-    jax.block_until_ready(wav)
-    dt = (time.perf_counter() - t0) / iters
+    _ = float(wav[0, -1])
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # two timed windows, report the second (first-window allocator
+    # reorganization can inflate a fresh program's timings ~25x)
+    dt = None
+    for _round in range(2):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(iters):
+            wav = full(engine.zoo)
+            part = wav[0, -1]
+            acc = part if acc is None else acc + part
+        _ = float(acc)
+        dt = (time.perf_counter() - t0) / iters
     audio_seconds = batch * wav.shape[-1] / 24000.0
     return audio_seconds / dt, audio_seconds
 
@@ -80,6 +91,9 @@ def run_once(engine, mp, token_cap, frame_cap, steps, batch):
 def main():
     import jax
     import jax.numpy as jnp
+
+    from styletts2_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     engine, mp = build()
     platform = jax.devices()[0].platform

@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from styletts2_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from styletts2_tpu.config import load_config
     from styletts2_tpu.models.zoo import build_zoo, zoo_configs
     from styletts2_tpu.train.loop import make_lr_map
@@ -68,22 +71,36 @@ def main():
     key = jax.random.PRNGKey(0)
     sigma = jnp.float32(0.2)
 
+    # NOTE on methodology: through the tunneled TPU backend
+    # ``jax.block_until_ready`` returns without waiting for device execution
+    # (measured: a 1.1-TFLOP jit "completes" in 0.3 ms vs a 5.6 ms roofline).
+    # Only a device->host transfer forces the work, so every timing below
+    # chains the state across iterations and fetches a scalar at the end;
+    # the one tunnel round-trip (~25 ms) is amortized over the loop.
     t0 = time.perf_counter()
     out = step(zoo, states, batch, key, sigma)
-    jax.block_until_ready(out.metrics)
+    _ = float(out.metrics["mel_loss"])
     compile_s = time.perf_counter() - t0
 
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
     ctx = jax.profiler.trace(profile_dir) if profile_dir else None
     if ctx:
         ctx.__enter__()
-    t0 = time.perf_counter()
-    o = None
-    for i in range(iters):
-        o = step(out.params, out.opt_states, batch,
-                 jax.random.fold_in(key, i), sigma)
-    jax.block_until_ready(o.metrics)
-    dt = (time.perf_counter() - t0) / iters
+    # Chain the state through the loop: every iteration depends on the
+    # previous one (true training semantics), donated buffers are never
+    # reused, and a lazy dispatch path cannot elide unobserved steps.
+    # Two timed windows, report the second — the first window after a fresh
+    # compile pays a one-off device-memory reorganization (measured up to
+    # ~25x on isolated programs).
+    o = out
+    dt = None
+    for r in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            o = step(o.params, o.opt_states, batch,
+                     jax.random.fold_in(key, r * iters + i), sigma)
+        _ = float(o.metrics["mel_loss"])
+        dt = (time.perf_counter() - t0) / iters
     if ctx:
         ctx.__exit__(None, None, None)
 

@@ -22,6 +22,32 @@ import jax.numpy as jnp
 logger = logging.getLogger(__name__)
 
 
+def enable_compilation_cache(path: str = "/tmp/styletts2_jax_cache") -> None:
+    """Persist compiled XLA executables across processes.
+
+    The full stage-2 step compiles for ~12 minutes on a v5e; with the cache
+    a restarted run (or a bench rerun at identical shapes) loads the
+    executable in seconds.  Honors an externally-set
+    ``JAX_COMPILATION_CACHE_DIR``; call before the first compilation.
+
+    Measured hazard: through the *axon* tunnel plugin a cache-deserialized
+    executable runs ~200x slower than a freshly compiled one (11.3 s vs
+    60 ms for the full stage-2 step, identical inputs), so the cache is
+    skipped on that backend.  Local CPU/TPU backends are unaffected.
+    """
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
+    try:
+        version = jax.devices()[0].client.platform_version
+        if "axon" in version.lower():
+            logger.info("compilation cache skipped on the axon tunnel backend")
+            return
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.warning("compilation cache disabled: %s", e)
+
+
 class MetricsWriter:
     """Scalar logger: JSONL always; TensorBoard when available."""
 

@@ -29,6 +29,9 @@ def main():
 
     import jax
 
+    from styletts2_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from styletts2_tpu.config import load_config
     from styletts2_tpu.data import build_dataloader
     from styletts2_tpu.models.zoo import build_zoo, zoo_configs
