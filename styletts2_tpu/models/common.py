@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn import init as jinit
-from ..nn.conv import conv1d, conv2d
+from ..nn.conv import conv1d, conv2d, conv2d_nhwc
 from ..nn.param_norm import spectral_norm_kernel, weight_norm_kernel
 
 
@@ -147,6 +147,18 @@ def wn_conv1d(p: Dict, x, **kw):
 
 def wn_conv2d(p: Dict, x, **kw):
     return conv2d(x, weight_norm_kernel(p), p.get("bias"), **kw)
+
+
+def wn_conv2d_nhwc(p: Dict, x, **kw):
+    return conv2d_nhwc(x, weight_norm_kernel(p), p.get("bias"), **kw)
+
+
+def wn_conv1d_from2d(p: Dict, x, **kw):
+    """Apply a torch Conv2d with a (K, 1) kernel as a conv1d.
+
+    Checkpoint layout stays (out, in, K, 1); squeezing the unit width is
+    exact because such a kernel never mixes the W axis (MPD towers)."""
+    return conv1d(x, weight_norm_kernel(p)[..., 0], p.get("bias"), **kw)
 
 
 def _sn_kernel(p: Dict) -> jnp.ndarray:

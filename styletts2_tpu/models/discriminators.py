@@ -45,35 +45,70 @@ def init_mpd(key) -> Dict:
 
 
 def _discriminator_p(p: Dict, x: jnp.ndarray, period: int) -> Tuple[jnp.ndarray, List]:
+    """One period tower (ref: Modules/discriminators.py periods' DiscriminatorP).
+
+    TPU layout note: the reference formulates this as Conv2d towers over the
+    (T/p, p) fold, which puts the tiny period axis (2..11) on the TPU lane
+    dimension and wastes >90% of every vector register.  All kernels are
+    (5,1)/(3,1) — they never mix the p columns — so the fold is moved into
+    the *batch* axis instead and the towers run as dense conv1d over T/p:
+    identical math, MXU-friendly tiling.  Feature maps are reshaped back to
+    the reference's (B, C, T/p, p) so the feature-matching loss sees the
+    same tensors.
+    """
     b, c, t = x.shape
     if t % period != 0:
         pad = period - (t % period)
         x = jnp.concatenate([x, x[..., -pad - 1:-1][..., ::-1]], axis=-1)  # reflect
         t = t + pad
-    x = x.reshape(b, c, t // period, period)
+    h = t // period
+    # (B, C, H, p) -> (B, p, C, H) -> (B*p, C, H): period joins the batch
+    x = x.reshape(b, c, h, period)
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b * period, c, h)
+
+    def unfold(y: jnp.ndarray) -> jnp.ndarray:
+        bp, cc, hh = y.shape
+        return jnp.transpose(y.reshape(b, period, cc, hh), (0, 2, 3, 1))
 
     fmap = []
     for j in range(5):
-        stride = (3, 1) if j < 4 else (1, 1)
-        pad = (2, 0)
-        x = cm.wn_conv2d(p["convs"][str(j)], x, stride=stride, padding=pad)
+        stride = 3 if j < 4 else 1
+        w = p["convs"][str(j)]
+        x = cm.wn_conv1d_from2d(w, x, stride=stride, padding=2)
         x = cm.leaky_relu(x, LRELU_SLOPE)
-        fmap.append(x)
-    x = cm.wn_conv2d(p["conv_post"], x, padding=(1, 0))
-    fmap.append(x)
-    return x.reshape(b, -1), fmap
+        fmap.append(unfold(x))
+    x = cm.wn_conv1d_from2d(p["conv_post"], x, padding=1)
+    fmap.append(unfold(x))
+    return unfold(x).reshape(b, -1), fmap
 
 
-def mpd_apply(params: Dict, y: jnp.ndarray, y_hat: jnp.ndarray):
-    """Returns (real_scores, fake_scores, real_fmaps, fake_fmaps)."""
+def mpd_apply(params: Dict, y: jnp.ndarray, y_hat: jnp.ndarray,
+              batched: bool = True):
+    """Returns (real_scores, fake_scores, real_fmaps, fake_fmaps).
+
+    ``batched=True`` runs real and fake through each tower as ONE 2B pass
+    (the reference calls each tower twice): right for the discriminator step,
+    where both branches are stop-gradient and only parameter grads flow.
+    Use ``batched=False`` on the generator side — there the real branch is
+    forward-only while the fake branch needs input gradients, and a fused 2B
+    pass would drag the dead real half through the whole backward."""
     y, y_hat = cm.autocast(params, y, y_hat)
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-    for i, period in enumerate(PERIODS):
-        p = params["discriminators"][str(i)]
-        r, fr = _discriminator_p(p, y, period)
-        g, fg = _discriminator_p(p, y_hat, period)
-        y_d_rs.append(r); fmap_rs.append(fr)
-        y_d_gs.append(g); fmap_gs.append(fg)
+    if batched:
+        b = y.shape[0]
+        both = jnp.concatenate([y, y_hat], axis=0)
+        for i, period in enumerate(PERIODS):
+            p = params["discriminators"][str(i)]
+            s, fm = _discriminator_p(p, both, period)
+            y_d_rs.append(s[:b]); fmap_rs.append([f[:b] for f in fm])
+            y_d_gs.append(s[b:]); fmap_gs.append([f[b:] for f in fm])
+    else:
+        for i, period in enumerate(PERIODS):
+            p = params["discriminators"][str(i)]
+            r, fr = _discriminator_p(p, y, period)
+            g, fg = _discriminator_p(p, y_hat, period)
+            y_d_rs.append(r); fmap_rs.append(fr)
+            y_d_gs.append(g); fmap_gs.append(fg)
     return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
@@ -104,32 +139,53 @@ DROP_NYQUIST = True  # 2^k+1 bin counts pad 8x on TPU lanes (T(2,128) layout);
 
 
 def _spec_discriminator(p: Dict, x: jnp.ndarray, res) -> Tuple[jnp.ndarray, List]:
+    """One STFT-magnitude tower (ref: Modules/discriminators.py:20-61).
+
+    TPU layout note: the tower runs channels-LAST (B, frames, bins, C) so the
+    32-channel axis lands on vector lanes (~25% faster than NCHW here).
+    Feature maps are returned in NHWC; the feature-matching loss is a mean of
+    absolute differences, which is layout-invariant, and the final score has
+    one channel so its flattening matches the reference exactly."""
     n_fft, hop, win = res
     mag = jnp.abs(stft(x[:, 0, :], n_fft, hop, win, hann_window(win)))
     if DROP_NYQUIST:
         mag = mag[:, :-1, :]
     # the STFT is fp32-pinned; the conv tower runs in the params' dtype
-    y = cm.autocast(p, jnp.swapaxes(mag, 1, 2)[:, None])     # (B, 1, frames, bins)
+    y = cm.autocast(p, jnp.swapaxes(mag, 1, 2)[..., None])   # (B, frames, bins, 1)
     fmap = []
     strides = [(1, 1), (1, 2), (1, 2), (1, 2), (1, 1)]
     pads = [(1, 4), (1, 4), (1, 4), (1, 4), (1, 1)]
     for j in range(5):
-        y = cm.wn_conv2d(p["discriminators"][str(j)], y, stride=strides[j], padding=pads[j])
+        y = cm.wn_conv2d_nhwc(p["discriminators"][str(j)], y,
+                              stride=strides[j], padding=pads[j])
         y = cm.leaky_relu(y, LRELU_SLOPE)
         fmap.append(y)
-    y = cm.wn_conv2d(p["out"], y, padding=(1, 1))
+    y = cm.wn_conv2d_nhwc(p["out"], y, padding=(1, 1))
     fmap.append(y)
     return y.reshape(y.shape[0], -1), fmap
 
 
-def msd_apply(params: Dict, y: jnp.ndarray, y_hat: jnp.ndarray):
+def msd_apply(params: Dict, y: jnp.ndarray, y_hat: jnp.ndarray,
+              batched: bool = True):
+    """Real and fake share one batched tower pass per resolution when
+    ``batched`` (discriminator step); separate passes on the generator side
+    (see mpd_apply for the gradient-shape rationale)."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-    for i, res in enumerate(SPEC_RESOLUTIONS):
-        p = params["discriminators"][str(i)]
-        r, fr = _spec_discriminator(p, y, res)
-        g, fg = _spec_discriminator(p, y_hat, res)
-        y_d_rs.append(r); fmap_rs.append(fr)
-        y_d_gs.append(g); fmap_gs.append(fg)
+    if batched:
+        b = y.shape[0]
+        both = jnp.concatenate([y, y_hat], axis=0)
+        for i, res in enumerate(SPEC_RESOLUTIONS):
+            p = params["discriminators"][str(i)]
+            s, fm = _spec_discriminator(p, both, res)
+            y_d_rs.append(s[:b]); fmap_rs.append([f[:b] for f in fm])
+            y_d_gs.append(s[b:]); fmap_gs.append([f[b:] for f in fm])
+    else:
+        for i, res in enumerate(SPEC_RESOLUTIONS):
+            p = params["discriminators"][str(i)]
+            r, fr = _spec_discriminator(p, y, res)
+            g, fg = _spec_discriminator(p, y_hat, res)
+            y_d_rs.append(r); fmap_rs.append(fr)
+            y_d_gs.append(g); fmap_gs.append(fg)
     return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 

@@ -209,7 +209,8 @@ class Stage1Trainer:
 
             y = wav[:, None, :]
             disc_fwd = lambda yy, yr: generator_loss_full(
-                mpd_apply(zoo["mpd"], yy, yr), msd_apply(zoo["msd"], yy, yr))
+                mpd_apply(zoo["mpd"], yy, yr, batched=False),
+                msd_apply(zoo["msd"], yy, yr, batched=False))
             if self.remat_discriminators:
                 disc_fwd = jax.checkpoint(disc_fwd)
             loss_gen_all = disc_fwd(y, y_rec)

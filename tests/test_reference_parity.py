@@ -422,3 +422,63 @@ def test_kdiffusion_loss_parity(monkeypatch):
     weight = (sigmas_np ** 2 + sigma_data ** 2) * (sigmas_np * sigma_data) ** -2.0
     ours = jnp.mean(losses * weight)
     assert_close(ours, theirs, atol=1e-5, rtol=1e-4, name="k loss")
+
+
+# ---------------------------------------------------------------------------
+# GAN discriminators (MPD period->batch reformulation must stay exact)
+# ---------------------------------------------------------------------------
+
+def test_mpd_parity():
+    """MPD vs ref Modules/discriminators.py:94-151.
+
+    Our towers run the period fold in the batch axis (conv1d) instead of the
+    reference's (T/p, p) Conv2d; scores and every feature map must match."""
+    from styletts2_tpu.models.discriminators import mpd_apply
+
+    tm = ref.discriminators.MultiPeriodDiscriminator().eval()
+    params = to_jax_params(tm)
+
+    y = rand((2, 1, 4410), seed=70, scale=0.3)
+    y_hat = rand((2, 1, 4410), seed=71, scale=0.3)
+    with torch.no_grad():
+        t_rs, t_gs, t_frs, t_fgs = tm(torch.tensor(y), torch.tensor(y_hat))
+    o_rs, o_gs, o_frs, o_fgs = mpd_apply(params, jnp.asarray(y), jnp.asarray(y_hat))
+    assert len(o_rs) == len(t_rs) == 5
+    for i in range(5):
+        assert_close(o_rs[i], t_rs[i].flatten(1), 1e-4, name=f"mpd real score {i}")
+        assert_close(o_gs[i], t_gs[i].flatten(1), 1e-4, name=f"mpd fake score {i}")
+        for j, (of, tf) in enumerate(zip(o_frs[i], t_frs[i])):
+            assert_close(of, tf, 1e-4, rtol=1e-3, name=f"mpd fmap[{i}][{j}]")
+
+
+def test_msd_parity(monkeypatch):
+    """MSD vs ref Modules/discriminators.py:20-91 (Nyquist-bin drop off).
+
+    The reference hard-codes ``window.to(y.get_device())`` (a CUDA-ism that
+    crashes on CPU, like the istftnet ``.to('cuda')``); pin get_device to the
+    CPU device for the torch run."""
+    import styletts2_tpu.models.discriminators as D
+
+    monkeypatch.setattr(torch.Tensor, "get_device",
+                        lambda self: torch.device("cpu"), raising=False)
+    tm = ref.discriminators.MultiResSpecDiscriminator().eval()
+    params = to_jax_params(tm)
+
+    y = rand((2, 1, 4410), seed=72, scale=0.3)
+    y_hat = rand((2, 1, 4410), seed=73, scale=0.3)
+    with torch.no_grad():
+        t_rs, t_gs, t_frs, t_fgs = tm(torch.tensor(y), torch.tensor(y_hat))
+    old = D.DROP_NYQUIST
+    D.DROP_NYQUIST = False
+    try:
+        o_rs, o_gs, o_frs, o_fgs = D.msd_apply(params, jnp.asarray(y), jnp.asarray(y_hat))
+    finally:
+        D.DROP_NYQUIST = old
+    assert len(o_rs) == len(t_rs) == 3
+    for i in range(3):
+        assert_close(o_rs[i], t_rs[i].flatten(1), 1e-3, rtol=1e-2,
+                     name=f"msd real score {i}")
+        for j, (of, tf) in enumerate(zip(o_frs[i], t_frs[i])):
+            # our tower runs channels-last; fmaps are NHWC vs torch's NCHW
+            assert_close(jnp.transpose(of, (0, 3, 1, 2)), tf, 1e-3, rtol=1e-2,
+                         name=f"msd fmap[{i}][{j}]")
