@@ -20,11 +20,88 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# DFT implementation selection
+#
+# TPUs have no FFT hardware; XLA's Fft HLO is far slower there than the same
+# transform written as two real matmuls against a cos/sin basis (which lands
+# on the MXU).  CPU keeps the true FFT (faster there, and bit-exact for the
+# golden tests).  ``set_dft_impl`` overrides; "auto" resolves per backend.
+# ---------------------------------------------------------------------------
+
+_DFT_IMPL = os.environ.get("STYLETTS2_DFT", "auto")  # auto | matmul | fft
+
+
+def set_dft_impl(impl: str) -> None:
+    global _DFT_IMPL
+    assert impl in ("auto", "matmul", "fft"), impl
+    _DFT_IMPL = impl
+
+
+def _use_matmul_dft() -> bool:
+    if _DFT_IMPL != "auto":
+        return _DFT_IMPL == "matmul"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_basis(n_fft: int):
+    """rfft as matmul: X = frames @ (cos - i sin), shapes (n_fft, n_bins).
+
+    Cached as NUMPY: a jnp array materialized inside a jit trace is a
+    trace-local constant and caching it across traces leaks tracers."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_basis(n_fft: int):
+    """irfft as matmul: x = re @ C + im @ S, shapes (n_bins, n_fft).
+
+    Hermitian weights: bins 0 and n_fft/2 count once, the rest twice."""
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    w = np.full((n_bins, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    return ((w * np.cos(ang) / n_fft).astype(np.float32),
+            (-w * np.sin(ang) / n_fft).astype(np.float32))
+
+
+def _rfft(frames: jnp.ndarray) -> jnp.ndarray:
+    """rfft over the last axis, MXU matmul on TPU / true FFT elsewhere."""
+    if not _use_matmul_dft():
+        return jnp.fft.rfft(frames, axis=-1)
+    cos, sin = (jnp.asarray(a) for a in _rdft_basis(frames.shape[-1]))
+    p = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(frames, cos, precision=p)
+    im = -jnp.matmul(frames, sin, precision=p)
+    return jax.lax.complex(re, im)
+
+
+def _irfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    """irfft over the last axis (length-n output)."""
+    if not _use_matmul_dft():
+        return jnp.fft.irfft(spec, n=n, axis=-1)
+    c, s = (jnp.asarray(a) for a in _irdft_basis(n))
+    p = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(jnp.real(spec), c, precision=p)
+            + jnp.matmul(jnp.imag(spec), s, precision=p))
 
 
 def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -84,7 +161,7 @@ def stft(
         pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, pad_widths, mode=pad_mode)
     frames = frame_signal(x, n_fft, hop_length) * window
-    spec = jnp.fft.rfft(frames, axis=-1)
+    spec = _rfft(frames)
     return jnp.swapaxes(spec, -1, -2)
 
 
@@ -134,7 +211,7 @@ def istft(
         window = hann_window(win_length, jnp.float32)
     window = _padded_window(window, n_fft)
 
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = _irfft(jnp.swapaxes(spec, -1, -2), n_fft)
     n_frames = frames.shape[-2]
     total = n_fft + hop_length * (n_frames - 1)
 

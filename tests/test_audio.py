@@ -88,3 +88,32 @@ def test_log_norm_matches_reference_math():
     xt = torch.from_numpy(x)
     theirs = torch.log(torch.exp(xt * 4 + (-4)).norm(dim=1)).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_matmul_dft_matches_fft():
+    """The TPU matmul-DFT path must match the FFT path (used on CPU/tests).
+
+    On TPU the MXU matmul basis replaces XLA's slow Fft HLO
+    (audio/stft.py::set_dft_impl); both paths share all framing/window code,
+    so matching rfft/irfft here proves the whole stft/istft pair."""
+    import numpy as np
+
+    import importlib
+
+    st = importlib.import_module("styletts2_tpu.audio.stft")
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 4410)).astype(np.float32)
+    for n_fft, hop, win in ((1024, 120, 600), (512, 50, 240), (20, 5, 20)):
+        st.set_dft_impl("fft")
+        ref_spec = np.asarray(st.stft(x, n_fft, hop, win))
+        ref_wav = np.asarray(st.istft(ref_spec, n_fft, hop, win))
+        st.set_dft_impl("matmul")
+        try:
+            got_spec = np.asarray(st.stft(x, n_fft, hop, win))
+            got_wav = np.asarray(st.istft(got_spec, n_fft, hop, win))
+        finally:
+            st.set_dft_impl("auto")
+        np.testing.assert_allclose(got_spec.real, ref_spec.real, atol=2e-4)
+        np.testing.assert_allclose(got_spec.imag, ref_spec.imag, atol=2e-4)
+        np.testing.assert_allclose(got_wav, ref_wav, atol=2e-4)
