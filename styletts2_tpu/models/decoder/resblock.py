@@ -12,8 +12,7 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from ...nn.activations import snake
-from ...nn.norm import adain1d
+from ...ops.fused import adain_snake
 from .. import common as cm
 
 
@@ -43,17 +42,17 @@ def adain_resblock1_apply(p: Dict, x: jnp.ndarray, s: jnp.ndarray,
                           kernel_size: int = 3,
                           dilation: Sequence[int] = (1, 3, 5),
                           lengths=None) -> jnp.ndarray:
-    keep = None
-    if lengths is not None:
-        keep = jnp.arange(x.shape[-1])[None, :] < lengths[:, None]
+    """Each AdaIN -> Snake pair goes through ops/fused.py::adain_snake —
+    one call site for the XLA composition and the optional fused Pallas
+    kernel (measured a wash at production shapes; see ops/fused.py)."""
     for i in range(3):
-        h = adain1d(p["adain1"][str(i)], x, s, keep=keep)
-        h = snake(h, p["alpha1"][str(i)])
+        h = adain_snake(p["adain1"][str(i)], x, s, p["alpha1"][str(i)],
+                        lengths=lengths)
         h = cm.wn_conv1d(p["convs1"][str(i)], h,
                          padding=_get_padding(kernel_size, dilation[i]),
                          dilation=dilation[i])
-        h = adain1d(p["adain2"][str(i)], h, s, keep=keep)
-        h = snake(h, p["alpha2"][str(i)])
+        h = adain_snake(p["adain2"][str(i)], h, s, p["alpha2"][str(i)],
+                        lengths=lengths)
         h = cm.wn_conv1d(p["convs2"][str(i)], h,
                          padding=_get_padding(kernel_size, 1))
         x = x + h
