@@ -95,3 +95,30 @@ def generate_samples(zoo: Dict, configs: Dict, batch: Dict, out_dir: str,
                   np.asarray(y_rec)[i, 0, : n_gt * 1])
         write_wav(os.path.join(out_dir, f"{i}_pred.wav"),
                   np.asarray(y_pred)[i, 0, : int(frames_pred[i]) * 600])
+        write_attention_figure(
+            os.path.join(out_dir, f"{i}_attn.png"),
+            np.asarray(mono)[i, : int(text_lengths[i]),
+                             : int(batch["mel_input_length"][i]) // 2])
+
+
+def write_attention_figure(path: str, attn: np.ndarray) -> None:
+    """Monotonic-alignment heatmap per sample, the counterpart of the
+    reference's per-epoch attention TensorBoard figures
+    (ref: train_first.py:525-526 get_image(attn)).
+
+    Written as a PNG via matplotlib when available, else as ``.npy``."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 3))
+        ax.imshow(attn, aspect="auto", origin="lower", interpolation="nearest")
+        ax.set_xlabel("mel/2 frames")
+        ax.set_ylabel("tokens")
+        fig.tight_layout()
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+    except Exception:
+        np.save(path.replace(".png", ".npy"), attn)

@@ -119,6 +119,8 @@ def test_generate_training_samples(tmp_path):
     import os
     files = sorted(os.listdir(out))
     assert "0_gt.wav" in files and "0_rec.wav" in files and "0_pred.wav" in files
+    # attention heatmap (png via matplotlib, npy fallback)
+    assert "0_attn.png" in files or "0_attn.npy" in files
 
 
 def test_asr_gradient_checkpointing():
