@@ -138,6 +138,124 @@ DROP_NYQUIST = True  # 2^k+1 bin counts pad 8x on TPU lanes (T(2,128) layout);
                      # only discriminator scores (training dynamics), not audio.
 
 
+# ---------------------------------------------------------------------------
+# MSD towers: bin-packed layout for the MXU
+#
+# The towers are 32-channel convs; with channels on the TPU lane axis the MXU
+# output tile is 32/128 lanes wide, capping utilization at 25%, and every
+# activation pads 4x in HBM (the minor dim tiles to 128 lanes).  The packed
+# path folds P=4 adjacent frequency bins into the channel axis END-TO-END:
+# activations are (B, frames, bins/P, P*C) "super-bins" (dense 128-lane
+# tiles), and each conv runs with a block-expanded kernel whose output
+# channel q*C+c at super-bin o' equals plain-conv channel c at bin P*o'+q.
+# Taps that fall outside a slot are zero entries in the expanded kernel, so
+# the multiplies are a pure reshuffle of the plain conv's — exact math.
+# Forward, input-grad and weight-grad convs all run with 128-channel
+# operands.  Feature maps are returned in the packed layout: the
+# feature-matching loss is a mean of absolute differences, invariant to the
+# (consistent) bin shuffle; the final score conv unpacks first, so scores
+# are exactly the reference's.  Parity (values and grads through the full
+# loss): tests/test_aux_models.py::test_msd_packed_conv_parity.
+# ---------------------------------------------------------------------------
+
+_SPEC_CONV_IMPL = "auto"  # auto | plain | packed
+_PACK = 4
+
+
+def set_spec_conv_impl(impl: str) -> None:
+    global _SPEC_CONV_IMPL
+    assert impl in ("auto", "plain", "packed"), impl
+    _SPEC_CONV_IMPL = impl
+
+
+def _use_packed_spec_conv() -> bool:
+    if _SPEC_CONV_IMPL != "auto":
+        return _SPEC_CONV_IMPL == "packed"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pack_bins(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/p, p*C); packed channel r*C+c is bin r."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // p, p * c)
+
+
+def _unpack_bins(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    b, h, u, pc = x.shape
+    return x.reshape(b, h, u * p, pc // p)
+
+
+def _packed_conv(p: Dict, x: jnp.ndarray, kh_pad: int, stride_w: int,
+                 pad_w: int, c_in: int, c_out: int) -> jnp.ndarray:
+    """One tower conv on packed activations.
+
+    x: (B, H, W_in/P, P*c_in); returns (B, H, W_out/P, P*c_out) where the
+    plain conv maps W_in -> W_out with ``stride_w``/``pad_w``.
+    """
+    from ..nn.conv import conv2d_nhwc
+
+    P = _PACK
+    w = cm.weight_norm_kernel(p)          # (c_out, c_in, kh, kw)
+    kh, kw = w.shape[2], w.shape[3]
+    u_in = x.shape[2]
+    w_in = u_in * P
+    w_out = (w_in + 2 * pad_w - kw) // stride_w + 1
+    assert w_out % P == 0 and (stride_w * P) % P == 0
+    # output super-bin o' covers bins P*o'+q; tap k of bin P*o'+q reads input
+    # bin stride_w*(P*o'+q) - pad_w + k.  With off0 = (-pad_w) mod P the
+    # window starts at super slot (stride_w*P*o' - pad_w - off0)/P and tap
+    # offsets t = off0 + stride_w*q + k are slot t//P, lane-block t%P.
+    off0 = (-pad_w) % P
+    span = off0 + stride_w * (P - 1) + kw
+    n_slots = -(-span // P)
+    wexp = jnp.zeros((P * c_out, P * c_in, kh, n_slots), w.dtype)
+    for q in range(P):
+        for k in range(kw):
+            t = off0 + stride_w * q + k
+            wexp = wexp.at[q * c_out:(q + 1) * c_out,
+                           (t % P) * c_in:(t % P + 1) * c_in,
+                           :, t // P].add(w[:, :, :, k])
+    start0 = (0 * stride_w * P - pad_w - off0) // P
+    pad_l = max(0, -start0)
+    o_last = w_out // P - 1
+    end_last = (stride_w * P * o_last - pad_w - off0) // P + n_slots - 1
+    pad_r = max(0, end_last - (u_in - 1))
+    # super stride: consecutive o' advance the window by stride_w*P bins,
+    # i.e. stride_w super slots
+    y = conv2d_nhwc(x, wexp.astype(x.dtype), None,
+                    stride=(1, stride_w),
+                    padding=((kh_pad, kh_pad), (pad_l, pad_r)))
+    bias = p.get("bias")
+    if bias is not None:
+        y = y + jnp.tile(bias, P)
+    return y
+
+
+def _spec_tower_packed(p: Dict, x: jnp.ndarray):
+    """Full packed tower: x (B, frames, bins, 1) -> (scores, packed fmaps)."""
+    P = _PACK
+    y = _pack_bins(x, P)                                  # (B, H, W/4, 4)
+    fmap = []
+    specs = [  # (kh_pad, stride_w, pad_w, c_in, c_out)
+        (1, 1, 4, 1, 32),
+        (1, 2, 4, 32, 32),
+        (1, 2, 4, 32, 32),
+        (1, 2, 4, 32, 32),
+        (1, 1, 1, 32, 32),
+    ]
+    for j, (kh_pad, s, pw, ci, co) in enumerate(specs):
+        y = _packed_conv(p["discriminators"][str(j)], y, kh_pad, s, pw, ci, co)
+        y = cm.leaky_relu(y, LRELU_SLOPE)
+        fmap.append(y)
+    y = _unpack_bins(y, P)
+    y = cm.wn_conv2d_nhwc(p["out"], y, padding=(1, 1))
+    fmap.append(y)
+    return y.reshape(y.shape[0], -1), fmap
+
+
 def _spec_discriminator(p: Dict, x: jnp.ndarray, res) -> Tuple[jnp.ndarray, List]:
     """One STFT-magnitude tower (ref: Modules/discriminators.py:20-61).
 
@@ -152,6 +270,8 @@ def _spec_discriminator(p: Dict, x: jnp.ndarray, res) -> Tuple[jnp.ndarray, List
         mag = mag[:, :-1, :]
     # the STFT is fp32-pinned; the conv tower runs in the params' dtype
     y = cm.autocast(p, jnp.swapaxes(mag, 1, 2)[..., None])   # (B, frames, bins, 1)
+    if _use_packed_spec_conv() and y.shape[2] % (_PACK * 8) == 0:
+        return _spec_tower_packed(p, y)
     fmap = []
     strides = [(1, 1), (1, 2), (1, 2), (1, 2), (1, 1)]
     pads = [(1, 4), (1, 4), (1, 4), (1, 4), (1, 1)]

@@ -110,8 +110,10 @@ def conv2d_nhwc(
     checkpoint layout — XLA folds the transpose into the conv."""
     if isinstance(padding, int):
         pad = ((padding, padding), (padding, padding))
-    else:
+    elif padding and isinstance(padding[0], int):
         pad = ((padding[0], padding[0]), (padding[1], padding[1]))
+    else:  # sequence of (low, high) pairs — asymmetric padding
+        pad = tuple(tuple(p) for p in padding)
     x, w = _match_dtypes(x, w)
     y = lax.conv_general_dilated(
         x, jnp.transpose(w, (2, 3, 1, 0)),

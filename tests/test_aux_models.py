@@ -76,6 +76,39 @@ def test_discriminators_and_gan_losses():
     assert score.shape == (2, 17)
 
 
+def test_msd_packed_conv_parity():
+    """The MXU bin-packed tower conv is exact vs the plain conv (values AND
+    gradients), including the w_out % R != 0 fallback path."""
+    from styletts2_tpu.models import discriminators as D
+
+    msd = init_msd(jax.random.fold_in(KEY, 7))
+    # wav length chosen so every tower's bin counts stay 2^k (nyquist dropped)
+    y = jax.random.normal(KEY, (2, 1, 9600)) * 0.1
+    y_hat = jax.random.normal(jax.random.fold_in(KEY, 1), (2, 1, 9600)) * 0.1
+
+    def d_loss(p):
+        rs, gs, frs, fgs = msd_apply(p, y, y_hat)
+        loss = discriminator_loss_full(([], [], [], []), (rs, gs, frs, fgs))
+        fm = sum(jnp.sum(jnp.abs(f)) for fam in frs for f in fam)
+        return loss + 1e-3 * fm
+
+    try:
+        D.set_spec_conv_impl("plain")
+        v0, g0 = jax.value_and_grad(d_loss)(msd)
+        D.set_spec_conv_impl("packed")
+        v1, g1 = jax.value_and_grad(d_loss)(msd)
+    finally:
+        D.set_spec_conv_impl("auto")
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    # fp32 accumulation order differs between the layouts; bound the
+    # per-element relative error instead of bitwise equality
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(a), np.abs(b))
+        rel = np.abs(a - b) / np.maximum(denom, 1e-3)
+        assert rel.max() < 5e-4, (a.shape, rel.max())
+
+
 def test_mrstft_loss_zero_for_identical():
     wav = jax.random.normal(KEY, (2, 6000)) * 0.3
     loss = multi_resolution_stft_loss(wav, wav)
