@@ -134,15 +134,135 @@ def convert_plbert_checkpoint(ckpt_path: str) -> Dict:
 
 
 def convert_hf_whisper_encoder(model_name_or_state) -> Dict:
-    """HF WhisperModel state dict -> slm_encoder params."""
+    """HF WhisperModel state dict -> slm_encoder params.
+
+    Accepts a state-dict mapping, a local ``.pt``/``.pth``/``.bin`` file
+    holding one, or an HF model name/dir for ``from_pretrained``."""
     if isinstance(model_name_or_state, Mapping):
         state = model_name_or_state
+    elif isinstance(model_name_or_state, str) and os.path.isfile(model_name_or_state):
+        state = load_torch_file(model_name_or_state)
+        if "state_dict" in state:
+            state = state["state_dict"]
     else:
         from transformers import WhisperModel
 
         state = WhisperModel.from_pretrained(model_name_or_state).state_dict()
     enc = {k[len("encoder."):]: v for k, v in state.items() if k.startswith("encoder.")}
+    if not enc:  # already encoder-only keys
+        enc = dict(state)
     return nest(to_numpy_state(enc))
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-encoder wiring for the training CLIs
+# ---------------------------------------------------------------------------
+
+def find_plbert_checkpoint(plbert_dir: str) -> Optional[str]:
+    """Newest ``step_*.t7`` in a PL-BERT directory
+    (ref: Utils/PLBERT/util.py:87-96 picks the max-iteration file)."""
+    import re
+
+    best, best_step = None, -1
+    for name in os.listdir(plbert_dir):
+        m = re.match(r"step_(\d+)\.(t7|pt|pth)$", name)
+        if m and int(m.group(1)) > best_step:
+            best_step = int(m.group(1))
+            best = os.path.join(plbert_dir, name)
+    return best
+
+
+def _adapt(params: Mapping, cur: Optional[Mapping], name: str) -> Dict:
+    """Shape-adapt converted nested params against the current module."""
+    if cur is None:
+        return dict(params)
+    from .torch_compat import match_state_dict
+
+    cur_flat = {k: np.asarray(v) for k, v in flatten(cur).items()}
+    return nest(match_state_dict(cur_flat, flatten(params), name))
+
+
+def _convert_single_module(path: str, cur: Optional[Mapping], name: str) -> Dict:
+    """Convert a single-module torch checkpoint (ASR ``{'model': sd}``,
+    JDC ``{'net': sd}``, or a bare state dict — ref: models.py:743-853)."""
+    state = load_torch_file(path)
+    for key in ("model", "net", "state_dict"):
+        if isinstance(state, Mapping) and isinstance(state.get(key), Mapping):
+            state = state[key]
+            break
+    if isinstance(state.get(name), Mapping):  # full training ckpt keyed by module
+        state = state[name]
+    return convert_module_state(dict(state), cur, name)
+
+
+def load_pretrained_encoders(cfg, zoo: Dict, allow_random: Optional[bool] = None
+                             ) -> Dict[str, str]:
+    """Load the frozen/pretrained encoders the reference recipes require into
+    ``zoo`` in place: ASR text aligner + JDC pitch extractor
+    (ref: train_first.py:208-222, train_second.py:300-326), PL-BERT
+    (ref: train_first.py:223-227, Utils/PLBERT/util.py:82-142), and the
+    Whisper SLM encoder (ref: losses.py:204-214).
+
+    A configured-but-missing source raises (training against randomly
+    initialized frozen encoders is silently wrong); set
+    ``STYLETTS2_ALLOW_RANDOM_ENCODERS=1`` (or ``allow_random=True``) to
+    downgrade to a loud warning for smoke tests.  Returns {module: source}.
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    if allow_random is None:
+        allow_random = os.environ.get("STYLETTS2_ALLOW_RANDOM_ENCODERS") == "1"
+    loaded: Dict[str, str] = {}
+
+    def missing(msg: str):
+        if allow_random:
+            logger.warning("pretrained encoder missing (random init kept): %s", msg)
+        else:
+            raise FileNotFoundError(
+                msg + " — set STYLETTS2_ALLOW_RANDOM_ENCODERS=1 to run anyway "
+                "with randomly initialized frozen encoders (NOT a valid "
+                "training configuration)")
+
+    for name, path, field in (("text_aligner", cfg.ASR_path, "ASR_path"),
+                              ("pitch_extractor", cfg.F0_path, "F0_path")):
+        if name not in zoo:
+            continue
+        if not path:
+            missing(f"{name}: config field {field} is empty")
+        elif not os.path.exists(path):
+            missing(f"{name}: {field}={path!r} does not exist")
+        else:
+            zoo[name] = _convert_single_module(path, zoo.get(name), name)
+            loaded[name] = path
+
+    if "bert" in zoo:
+        src = cfg.PLBERT_dir
+        ckpt = None
+        if src and os.path.isdir(src):
+            ckpt = find_plbert_checkpoint(src)
+        elif src and os.path.isfile(src):
+            ckpt = src
+        if not src:
+            missing("bert: config field PLBERT_dir is empty")
+        elif ckpt is None:
+            missing(f"bert: no step_*.t7 checkpoint under PLBERT_dir={src!r}")
+        else:
+            zoo["bert"] = _adapt(convert_plbert_checkpoint(ckpt), zoo.get("bert"),
+                                 "bert")
+            loaded["bert"] = ckpt
+
+    if "slm_encoder" in zoo:
+        model = cfg.model_params.slm.model
+        try:
+            converted = convert_hf_whisper_encoder(model)
+        except Exception as exc:  # offline / missing local weights
+            missing(f"slm_encoder: cannot load {model!r} ({exc})")
+        else:
+            zoo["slm_encoder"] = _adapt(converted, zoo.get("slm_encoder"),
+                                        "slm_encoder")
+            loaded["slm_encoder"] = str(model)
+    return loaded
 
 
 def zoo_to_device(zoo: Mapping, dtype=None) -> Dict:

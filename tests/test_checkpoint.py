@@ -87,3 +87,66 @@ def test_plbert_t7_conversion(tmp_path):
     assert "embeddings" in out
     assert "position_ids" not in out["embeddings"]
     assert out["embeddings"]["word_embeddings"]["weight"].shape == (5, 3)
+
+
+def test_load_pretrained_encoders(tmp_path):
+    """The CLI encoder wiring: ASR/F0/PL-BERT/Whisper fixtures land in the
+    zoo (ref: train_first.py:208-227, Utils/PLBERT/util.py:82-142,
+    losses.py:204-214)."""
+    import dataclasses
+
+    from styletts2_tpu.testing import tiny_config
+
+    zoo, _ = tiny_zoo()
+    orig = {k: flatten(zoo[k]) for k in
+            ("text_aligner", "pitch_extractor", "bert", "slm_encoder")}
+
+    def shifted(mod):
+        out = {}
+        for k, v in flatten(mod).items():
+            a = np.asarray(v)
+            out[k] = torch.tensor(a + 1.0 if np.issubdtype(a.dtype, np.floating)
+                                  else a)
+        return out
+
+    torch.save({"model": shifted(zoo["text_aligner"])}, tmp_path / "asr.pth")
+    torch.save({"net": shifted(zoo["pitch_extractor"])}, tmp_path / "jdc.t7")
+    plbert_dir = tmp_path / "plbert"
+    plbert_dir.mkdir()
+    bert_state = {"module.encoder." + k: v
+                  for k, v in shifted(zoo["bert"]).items()}
+    torch.save({"net": bert_state}, plbert_dir / "step_100.t7")
+    # an older checkpoint that must NOT be picked
+    stale = {"module.encoder." + k: v * 0
+             for k, v in shifted(zoo["bert"]).items()}
+    torch.save({"net": stale}, plbert_dir / "step_50.t7")
+    slm_state = {"encoder." + k: v for k, v in shifted(zoo["slm_encoder"]).items()}
+    torch.save(slm_state, tmp_path / "whisper.pt")
+
+    cfg = tiny_config()
+    mp = dataclasses.replace(
+        cfg.model_params,
+        slm=dataclasses.replace(cfg.model_params.slm,
+                                model=str(tmp_path / "whisper.pt")))
+    cfg = dataclasses.replace(
+        cfg, model_params=mp,
+        ASR_path=str(tmp_path / "asr.pth"), F0_path=str(tmp_path / "jdc.t7"),
+        PLBERT_dir=str(plbert_dir))
+
+    loaded = ckpt.load_pretrained_encoders(cfg, zoo)
+    assert set(loaded) == {"text_aligner", "pitch_extractor", "bert",
+                           "slm_encoder"}
+    assert loaded["bert"].endswith("step_100.t7")
+    for name in loaded:
+        for k, v in flatten(zoo[name]).items():
+            a0 = np.asarray(orig[name][k])
+            if np.issubdtype(a0.dtype, np.floating):
+                np.testing.assert_allclose(np.asarray(v), a0 + 1.0, atol=1e-6,
+                                           err_msg=f"{name}.{k}")
+
+    # a configured-but-missing source must raise, not train random encoders
+    bad = dataclasses.replace(cfg, ASR_path=str(tmp_path / "missing.pth"))
+    with pytest.raises(FileNotFoundError):
+        ckpt.load_pretrained_encoders(bad, zoo)
+    # ... unless explicitly allowed (smoke-test escape hatch)
+    ckpt.load_pretrained_encoders(bad, zoo, allow_random=True)

@@ -63,7 +63,8 @@ def main():
     from styletts2_tpu.data import build_dataloader
     from styletts2_tpu.models.zoo import build_zoo, zoo_configs
     from styletts2_tpu.train.checkpoint import (
-        convert_reference_checkpoint, load_checkpoint, zoo_to_device)
+        convert_reference_checkpoint, load_checkpoint, load_pretrained_encoders,
+        zoo_to_device)
     from styletts2_tpu.train.loop import run_stage1
     from styletts2_tpu.utils import MetricsWriter
 
@@ -100,11 +101,12 @@ def main():
                 os.path.exists(cfg.pretrained_model):
             resume_from = cfg.pretrained_model
 
-    # load pretrained aux models / params-only init
-    for name, path in [("text_aligner", cfg.ASR_path), ("pitch_extractor", cfg.F0_path)]:
-        if path and os.path.exists(path):
-            sub = convert_reference_checkpoint(path, {name: zoo[name]})
-            zoo[name] = sub.get(name, next(iter(sub.values())))
+    # pretrained frozen encoders (ASR/F0/PL-BERT/Whisper) are the base init;
+    # any resume/pretrained checkpoint below overwrites where present
+    # (ref: train_first.py:208-227, losses.py:204-214)
+    loaded = load_pretrained_encoders(cfg, zoo)
+    for name, src in loaded.items():
+        logging.info("loaded pretrained %s from %s", name, src)
     if resume_from is None and cfg.pretrained_model and os.path.exists(cfg.pretrained_model):
         if cfg.pretrained_model.endswith(".pth"):
             zoo.update(convert_reference_checkpoint(cfg.pretrained_model, zoo))

@@ -36,7 +36,8 @@ def main():
     from styletts2_tpu.data import build_dataloader
     from styletts2_tpu.models.zoo import build_zoo, zoo_configs
     from styletts2_tpu.train.checkpoint import (
-        convert_reference_checkpoint, load_checkpoint, zoo_to_device)
+        convert_reference_checkpoint, load_checkpoint, load_pretrained_encoders,
+        zoo_to_device)
     from styletts2_tpu.train.loop import run_stage2
     from styletts2_tpu.utils import MetricsWriter
 
@@ -67,6 +68,13 @@ def main():
     resume_from = None
     if not args.no_resume:
         resume_from = args.resume or find_resume_checkpoint(cfg.log_dir, tag)
+
+    # pretrained frozen encoders (ASR/F0/PL-BERT/Whisper) are the base init;
+    # the stage-1/resume checkpoint below overwrites where present
+    # (ref: train_second.py:300-326, losses.py:204-214)
+    loaded = load_pretrained_encoders(cfg, zoo)
+    for name, src in loaded.items():
+        logging.info("loaded pretrained %s from %s", name, src)
 
     if resume_from is None:
         # stage-1 init: load first_stage, copy style_encoder -> predictor_encoder
