@@ -30,16 +30,19 @@ SPEC_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
 # Multi-period discriminator
 # ---------------------------------------------------------------------------
 
-def init_mpd(key) -> Dict:
+MPD_CHANNELS = (32, 128, 512, 1024, 1024)
+
+
+def init_mpd(key, channels: Sequence[int] = MPD_CHANNELS) -> Dict:
     p: Dict = {"discriminators": {}}
+    chans = list(zip((1,) + tuple(channels[:-1]), channels))
     for i, _ in enumerate(PERIODS):
         ks = jax.random.split(jax.random.fold_in(key, i), 6)
-        chans = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
         convs = {str(j): cm.init_wn_conv(ks[j], ci, co, (5, 1))
                  for j, (ci, co) in enumerate(chans)}
         p["discriminators"][str(i)] = {
             "convs": convs,
-            "conv_post": cm.init_wn_conv(ks[5], 1024, 1, (3, 1)),
+            "conv_post": cm.init_wn_conv(ks[5], channels[-1], 1, (3, 1)),
         }
     return p
 
@@ -116,19 +119,19 @@ def mpd_apply(params: Dict, y: jnp.ndarray, y_hat: jnp.ndarray,
 # Multi-resolution spectrogram discriminator
 # ---------------------------------------------------------------------------
 
-def init_msd(key) -> Dict:
+def init_msd(key, width: int = 32) -> Dict:
     p: Dict = {"discriminators": {}}
     for i, _ in enumerate(SPEC_RESOLUTIONS):
         ks = jax.random.split(jax.random.fold_in(key, i), 6)
         p["discriminators"][str(i)] = {
             "discriminators": {
-                "0": cm.init_wn_conv(ks[0], 1, 32, (3, 9)),
-                "1": cm.init_wn_conv(ks[1], 32, 32, (3, 9)),
-                "2": cm.init_wn_conv(ks[2], 32, 32, (3, 9)),
-                "3": cm.init_wn_conv(ks[3], 32, 32, (3, 9)),
-                "4": cm.init_wn_conv(ks[4], 32, 32, (3, 3)),
+                "0": cm.init_wn_conv(ks[0], 1, width, (3, 9)),
+                "1": cm.init_wn_conv(ks[1], width, width, (3, 9)),
+                "2": cm.init_wn_conv(ks[2], width, width, (3, 9)),
+                "3": cm.init_wn_conv(ks[3], width, width, (3, 9)),
+                "4": cm.init_wn_conv(ks[4], width, width, (3, 3)),
             },
-            "out": cm.init_wn_conv(ks[5], 32, 1, (3, 3)),
+            "out": cm.init_wn_conv(ks[5], width, 1, (3, 3)),
         }
     return p
 
@@ -189,7 +192,7 @@ def _unpack_bins(x: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 def _packed_conv(p: Dict, x: jnp.ndarray, kh_pad: int, stride_w: int,
-                 pad_w: int, c_in: int, c_out: int) -> jnp.ndarray:
+                 pad_w: int) -> jnp.ndarray:
     """One tower conv on packed activations.
 
     x: (B, H, W_in/P, P*c_in); returns (B, H, W_out/P, P*c_out) where the
@@ -199,11 +202,11 @@ def _packed_conv(p: Dict, x: jnp.ndarray, kh_pad: int, stride_w: int,
 
     P = _PACK
     w = cm.weight_norm_kernel(p)          # (c_out, c_in, kh, kw)
-    kh, kw = w.shape[2], w.shape[3]
+    c_out, c_in, kh, kw = w.shape
     u_in = x.shape[2]
     w_in = u_in * P
     w_out = (w_in + 2 * pad_w - kw) // stride_w + 1
-    assert w_out % P == 0 and (stride_w * P) % P == 0
+    assert w_out % P == 0
     # output super-bin o' covers bins P*o'+q; tap k of bin P*o'+q reads input
     # bin stride_w*(P*o'+q) - pad_w + k.  With off0 = (-pad_w) mod P the
     # window starts at super slot (stride_w*P*o' - pad_w - off0)/P and tap
@@ -239,15 +242,15 @@ def _spec_tower_packed(p: Dict, x: jnp.ndarray):
     P = _PACK
     y = _pack_bins(x, P)                                  # (B, H, W/4, 4)
     fmap = []
-    specs = [  # (kh_pad, stride_w, pad_w, c_in, c_out)
-        (1, 1, 4, 1, 32),
-        (1, 2, 4, 32, 32),
-        (1, 2, 4, 32, 32),
-        (1, 2, 4, 32, 32),
-        (1, 1, 1, 32, 32),
+    specs = [  # (kh_pad, stride_w, pad_w)
+        (1, 1, 4),
+        (1, 2, 4),
+        (1, 2, 4),
+        (1, 2, 4),
+        (1, 1, 1),
     ]
-    for j, (kh_pad, s, pw, ci, co) in enumerate(specs):
-        y = _packed_conv(p["discriminators"][str(j)], y, kh_pad, s, pw, ci, co)
+    for j, (kh_pad, s, pw) in enumerate(specs):
+        y = _packed_conv(p["discriminators"][str(j)], y, kh_pad, s, pw)
         y = cm.leaky_relu(y, LRELU_SLOPE)
         fmap.append(y)
     y = _unpack_bins(y, P)

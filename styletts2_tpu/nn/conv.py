@@ -97,7 +97,7 @@ def conv2d_nhwc(
     w: jnp.ndarray,
     b: Optional[jnp.ndarray] = None,
     stride: IntOrPair = 1,
-    padding: Union[int, Tuple[int, int]] = 0,
+    padding: Union[int, Tuple[int, int], Sequence[Tuple[int, int]]] = 0,
     dilation: IntOrPair = 1,
     groups: int = 1,
     precision=None,

@@ -77,8 +77,21 @@ def test_discriminators_and_gan_losses():
 
 
 def test_msd_packed_conv_parity():
-    """The MXU bin-packed tower conv is exact vs the plain conv (values AND
-    gradients), including the w_out % R != 0 fallback path."""
+    """The MXU bin-packed tower conv matches the plain conv (values to 1e-6;
+    gradients to fp32 accumulation-order noise).
+
+    Gradient tolerance calibration: the two layouts sum identical partial
+    products in different orders, so gradients drift by fp32 accumulation
+    noise.  The probe loss through the feature maps must be SMOOTH: an
+    absolute-value term has gradient sign(f), and accumulation noise flips
+    the sign of near-zero feature elements between layouts, turning an
+    O(1e-7) forward difference into an O(1) gradient difference (measured:
+    2.8e-2 max rel with an |f| term vs 1.8e-3 with f**2 on this host — same
+    convs, same backward path).  With the smooth probe the measured max
+    relative error is ~1.8e-3 (floor denom 1e-3); 5e-3 bounds it with margin
+    while still catching any real index-algebra bug (those produce O(1)
+    relative errors, not O(1e-3)).
+    """
     from styletts2_tpu.models import discriminators as D
 
     msd = init_msd(jax.random.fold_in(KEY, 7))
@@ -89,7 +102,9 @@ def test_msd_packed_conv_parity():
     def d_loss(p):
         rs, gs, frs, fgs = msd_apply(p, y, y_hat)
         loss = discriminator_loss_full(([], [], [], []), (rs, gs, frs, fgs))
-        fm = sum(jnp.sum(jnp.abs(f)) for fam in frs for f in fam)
+        # smooth probe through every feature map (see docstring: |f| makes
+        # this comparison discontinuous at near-zero features)
+        fm = sum(jnp.sum(jnp.square(f)) for fam in frs for f in fam)
         return loss + 1e-3 * fm
 
     try:
@@ -106,7 +121,31 @@ def test_msd_packed_conv_parity():
         a, b = np.asarray(a), np.asarray(b)
         denom = np.maximum(np.abs(a), np.abs(b))
         rel = np.abs(a - b) / np.maximum(denom, 1e-3)
-        assert rel.max() < 5e-4, (a.shape, rel.max())
+        assert rel.max() < 5e-3, (a.shape, rel.max())
+
+
+def test_msd_packed_fallback_path():
+    """Forced packed mode with bin counts not divisible by 32 (Nyquist kept:
+    513/1025/257 bins) must take the plain-path fallback gate in
+    _spec_discriminator and produce bitwise-identical scores."""
+    from styletts2_tpu.models import discriminators as D
+
+    msd = init_msd(jax.random.fold_in(KEY, 7))
+    y = jax.random.normal(KEY, (2, 1, 4800)) * 0.1
+    y_hat = jax.random.normal(jax.random.fold_in(KEY, 1), (2, 1, 4800)) * 0.1
+
+    old_drop = D.DROP_NYQUIST
+    D.DROP_NYQUIST = False
+    try:
+        D.set_spec_conv_impl("plain")
+        rs0, gs0, _, _ = msd_apply(msd, y, y_hat)
+        D.set_spec_conv_impl("packed")
+        rs1, gs1, _, _ = msd_apply(msd, y, y_hat)
+    finally:
+        D.set_spec_conv_impl("auto")
+        D.DROP_NYQUIST = old_drop
+    for a, b in zip(rs0 + gs0, rs1 + gs1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_mrstft_loss_zero_for_identical():
