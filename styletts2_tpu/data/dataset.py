@@ -196,6 +196,13 @@ class FilePathDataset:
                 continue
         if ref_wave is None:
             ref_wave = wave
+        # random reference crop to <= max_ref_mel_length frames, drawn from
+        # the per-sample rng so threaded decode stays deterministic
+        # (ref: meldataset.py:188-192 crops in the collater)
+        cap = self.max_ref_mel_length * HOP
+        if len(ref_wave) > cap:
+            start = int(rng.integers(0, len(ref_wave) - cap))
+            ref_wave = ref_wave[start: start + cap]
 
         # OOD text for SLM adversarial (ref: meldataset.py:133-146)
         ps = ""
@@ -248,12 +255,13 @@ class Collater:
             ref_texts[i, : len(s.ref_tokens)] = s.ref_tokens
             input_lengths[i] = len(s.tokens)
             ref_lengths[i] = len(s.ref_tokens)
-            # crop reference to <= max_ref_frames (ref: meldataset.py:188-192)
+            # reference already randomly cropped per-sample in __getitem__;
+            # deterministic head-crop here is only a safety net for samples
+            # built outside FilePathDataset
             rn = len(s.ref_wave)
             cap = ref_frames * HOP
             if rn > cap:
-                start = np.random.randint(0, rn - cap)
-                ref_waves[i] = s.ref_wave[start: start + cap]
+                ref_waves[i] = s.ref_wave[:cap]
                 ref_frame_lengths[i] = ref_frames
             else:
                 ref_waves[i, :rn] = s.ref_wave
