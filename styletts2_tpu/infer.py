@@ -96,17 +96,23 @@ class InferenceEngine:
                 1, 2)
 
             def net(x, c_noise):
+                # mask: the reference infers at exact length (demo cell 17);
+                # excluding pad keys reproduces that at bucketed shapes
                 return denoiser_cfg_apply(
                     zoo["diffusion"]["transformer"], x, c_noise, bert_dur,
                     embedding_scale=embedding_scale,
                     features=ref_s if (use_ref and mp.multispeaker) else None,
                     num_heads=mp.diffusion.transformer.num_heads,
                     style_conditioned=mp.multispeaker,
+                    mask=mask,
                 )
 
             fn_denoise = S.k_denoise_fn(net, self.sigma_data)
             sigmas = S.karras_schedule(num_steps)
-            s_pred = S.adpm2_sample(key, noise, fn_denoise, sigmas, num_steps)[:, 0, :]
+            # the reference samples styles UNclamped (demo cell 14 and
+            # train_second.py:418-422 build DiffusionSampler with clamp=False)
+            s_pred = S.adpm2_sample(key, noise, fn_denoise, sigmas, num_steps,
+                                    clamp=False)[:, 0, :]
 
             # long-form style carry-over: s_pred <- t*s_prev + (1-t)*s_pred
             s_pred = jnp.where(prev_mix > 0, prev_mix * s_prev + (1 - prev_mix) * s_pred,
@@ -138,11 +144,15 @@ class InferenceEngine:
         return jax.jit(fn)
 
     # -- stage 2 ----------------------------------------------------------
-    def _synth_fn(self, length: int, t_mel: int):
+    def _synth_fn(self, length: int, t_mel: int, noisy_source: bool = False):
+        """``noisy_source``: thread a PRNG key into the vocoder's harmonic
+        source so SineGen's dither is drawn like the reference's inference
+        (ref: Modules/istftnet.py:237-246 adds it unconditionally); the
+        default keeps the engine's fully deterministic zero-dither path."""
         mp = self.model_params
         decoder_mod = istftnet if mp.decoder.type == "istftnet" else hifigan
 
-        def fn(zoo, t_en, d, s, ref, pred_dur, lengths):
+        def fn(zoo, t_en, d, s, ref, pred_dur, lengths, source_key=None):
             if self.compute_dtype is not None:
                 # vocoder runs at MXU bf16 rate; STFT/phase paths re-pin fp32
                 t_en, d, s, ref = (x.astype(self.compute_dtype) for x in (t_en, d, s, ref))
@@ -161,10 +171,13 @@ class InferenceEngine:
             frames = pred_dur.sum(axis=1)
             f0, n = prosody_f0n_apply(zoo["predictor"], en, s, lengths=frames)
             wav = decoder_mod.decoder_apply(zoo["decoder"], mp.decoder, asr, f0, n,
-                                            ref, lengths=frames)
+                                            ref, key=source_key, lengths=frames)
             return wav[:, 0, :]
 
-        return jax.jit(fn)
+        if noisy_source:
+            return jax.jit(fn)
+        return jax.jit(lambda zoo, t_en, d, s, ref, pred_dur, lengths: fn(
+            zoo, t_en, d, s, ref, pred_dur, lengths, None))
 
     # -- public API -------------------------------------------------------
     def synthesize(
@@ -181,6 +194,7 @@ class InferenceEngine:
         prev_blend: float = 0.0,
         trim_tail: int = 0,
         return_styles: bool = False,
+        source_key: Optional[jax.Array] = None,   # vocoder dither (see _synth_fn)
     ):
         """Phoneme strings -> list of waveforms (24 kHz numpy, trimmed to each
         sample's true length)."""
@@ -228,20 +242,22 @@ class InferenceEngine:
             min(int(lengths.max()) * self.duration_headroom + self.frame_bucket,
                 self.max_frames),
             self.frame_bucket)
-        skey = (cap, spec_cap)
+        noisy = source_key is not None
+        s_args = (source_key,) if noisy else ()
+        skey = (cap, spec_cap, noisy)
         if skey not in self._synth_cache:
-            self._synth_cache[skey] = self._synth_fn(cap, spec_cap)
+            self._synth_cache[skey] = self._synth_fn(cap, spec_cap, noisy)
         wav_dev = self._synth_cache[skey](self.zoo, t_en, d, s, ref, pred_dur,
-                                          jnp.asarray(lengths))
+                                          jnp.asarray(lengths), *s_args)
         pred_dur_np = np.asarray(pred_dur)          # overlaps with synth
         frames = pred_dur_np.sum(axis=1)
         if int(frames.max()) > spec_cap:
             t_mel = _round_up(int(frames.max()), self.frame_bucket)
-            skey = (cap, t_mel)
+            skey = (cap, t_mel, noisy)
             if skey not in self._synth_cache:
-                self._synth_cache[skey] = self._synth_fn(cap, t_mel)
+                self._synth_cache[skey] = self._synth_fn(cap, t_mel, noisy)
             wav_dev = self._synth_cache[skey](self.zoo, t_en, d, s, ref, pred_dur,
-                                              jnp.asarray(lengths))
+                                              jnp.asarray(lengths), *s_args)
         wav = np.asarray(wav_dev)
 
         outs = []
@@ -288,8 +304,8 @@ class InferenceEngine:
                     fkey = (tc, steps, 1.0, False, None, None)
                     if fkey not in self._frontend_cache:
                         self._frontend_cache[fkey] = self._frontend_fn(tc, steps, 1.0, False)
-                    if (tc, fc) not in self._synth_cache:
-                        self._synth_cache[(tc, fc)] = self._synth_fn(tc, fc)
+                    if (tc, fc, False) not in self._synth_cache:
+                        self._synth_cache[(tc, fc, False)] = self._synth_fn(tc, fc)
                 # trigger compilation through a real call at the largest cap
                 self.synthesize([phon] * batch, key=key, diffusion_steps=steps)
 

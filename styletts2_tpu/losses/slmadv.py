@@ -67,6 +67,10 @@ def slm_adversarial(
                                      # (ref: slmadv.py:214-219)
     real_alt: bool = False,          # static: host randint — cropped vs full real
                                      # in the LSGAN term (ref: slmadv.py:227, 236)
+    sigma_data=0.2,                  # live estimate: the reference's sampler
+                                     # shares model.diffusion.diffusion, whose
+                                     # sigma_data train_second.py:598-600 just
+                                     # updated with the batch estimate
 ) -> SlmAdvOut:
     b, length = ref_texts.shape
     style_dim = mp.style_dim
@@ -96,11 +100,12 @@ def slm_adversarial(
                 num_heads=mp.diffusion.transformer.num_heads,
                 style_conditioned=mp.multispeaker)
 
-        fn = S.k_denoise_fn(net, 0.2)
+        fn = S.k_denoise_fn(net, sigma_data)
         noise = jax.random.normal(jax.random.fold_in(key, 41), (b, 1, style_dim * 2))
         sigmas = S.karras_schedule(num_steps)
+        # clamp=False: ref samples styles unclamped (train_second.py:418-422)
         s_preds = S.adpm2_sample(jax.random.fold_in(key, 42), noise, fn, sigmas,
-                                 num_steps)[:, 0, :]
+                                 num_steps, clamp=False)[:, 0, :]
 
     s_dur = s_preds[:, style_dim:]
     acoustic = s_preds[:, :style_dim]

@@ -46,29 +46,46 @@ def adain_resblk1d_apply(
     rng: Optional[jax.Array] = None,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames at input rate
 ) -> jnp.ndarray:
-    keep = None
+    # Masked padded batches must reproduce the reference's exact-length
+    # computation: adain1d(keep=...) restricts the NORM STATS to valid
+    # frames, but its output at pad positions is nonzero (beta etc.), and
+    # the kernel-3 convs would leak those into the last valid frames where
+    # the exact-length reference sees zero conv padding — so pad positions
+    # are re-zeroed after every non-conv stage.
+    keep = keep_out = None
     if lengths is not None:
-        keep = jnp.arange(x.shape[-1])[None, :] < lengths[:, None]
+        keep = (jnp.arange(x.shape[-1])[None, :] < lengths[:, None])[:, None, :]
+        keep = keep.astype(x.dtype)
+        keep_out = keep
+        x = x * keep
     # shortcut
     sc = interpolate_nearest_2x(x) if upsample else x
     if "conv1x1" in p:
         sc = cm.wn_conv1d(p["conv1x1"], sc)
     # residual
-    h = adain1d(p["norm1"], x, s, keep=keep)
+    h = adain1d(p["norm1"], x, s, keep=None if keep is None else keep[:, 0, :])
     h = cm.leaky_relu(h, 0.2)
+    if keep is not None:
+        h = h * keep
     if upsample:
         h = conv_transpose1d(
             h, weight_norm_kernel(p["pool"]), p["pool"].get("bias"),
             stride=2, padding=1, output_padding=1, groups=h.shape[1],
         )
         if lengths is not None:
-            keep = jnp.arange(h.shape[-1])[None, :] < (lengths * 2)[:, None]
+            keep_out = (jnp.arange(h.shape[-1])[None, :] <
+                        (lengths * 2)[:, None])[:, None, :].astype(h.dtype)
+            h = h * keep_out
     if train and rng is not None:
         h = cm.dropout(h, dropout_p, train, jax.random.fold_in(rng, 1))
     h = cm.wn_conv1d(p["conv1"], h, padding=1)
-    h = adain1d(p["norm2"], h, s, keep=keep)
+    h = adain1d(p["norm2"], h, s,
+                keep=None if keep_out is None else keep_out[:, 0, :])
     h = cm.leaky_relu(h, 0.2)
+    if keep_out is not None:
+        h = h * keep_out
     if train and rng is not None:
         h = cm.dropout(h, dropout_p, train, jax.random.fold_in(rng, 2))
     h = cm.wn_conv1d(p["conv2"], h, padding=1)
-    return (h + sc) / math.sqrt(2.0)
+    out = (h + sc) / math.sqrt(2.0)
+    return out if keep_out is None else out * keep_out

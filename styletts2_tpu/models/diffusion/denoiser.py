@@ -100,8 +100,13 @@ def init_denoiser(
 # ---------------------------------------------------------------------------
 
 def _attention(p: Dict, x: jnp.ndarray, num_heads: int,
-               style: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Self-attention with pre-norm (LayerNorm or AdaLayerNorm)."""
+               style: Optional[jnp.ndarray] = None,
+               mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Self-attention with pre-norm (LayerNorm or AdaLayerNorm).
+
+    ``mask`` (B, L) True=valid: padded *keys* are excluded so a bucketed
+    padded batch reproduces the reference's exact-length batch-1 inference
+    (the reference never pads at inference; see denoiser_apply)."""
     # norm (queries) and norm_context (keys/values) have separate parameters
     # even in self-attention (ref: modules.py:556-584).
     if style is None:
@@ -123,6 +128,8 @@ def _attention(p: Dict, x: jnp.ndarray, num_heads: int,
 
     q, k, v = heads(q), heads(k), heads(v)
     sim = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (d ** -0.5)
+    if mask is not None:
+        sim = jnp.where(mask[:, None, None, :], sim, jnp.asarray(-1e9, sim.dtype))
     attn = jax.nn.softmax(sim, axis=-1)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
@@ -152,8 +159,19 @@ def denoiser_apply(
     features: Optional[jnp.ndarray] = None,   # (B, style_dim) multispeaker ref style
     num_heads: int = 8,
     style_conditioned: bool = False,
+    mask: Optional[jnp.ndarray] = None,       # (B, L) True = valid token
 ) -> jnp.ndarray:
-    """One denoiser forward, returns (B, 1, channels)."""
+    """One denoiser forward, returns (B, 1, channels).
+
+    The reference Transformer1d has no position masking: training feeds
+    padded batches whose pad positions leak into attention and the mean
+    pool (ref: modules.py:283-427) — the training step reproduces that by
+    passing ``mask=None``.  Reference *inference* is exact-length batch-1
+    (demo cell 17), so the bucketed-padded inference engine passes the
+    token mask to get identical results at padded shapes: pad keys are
+    excluded from attention and from the mean pool (valid rows are
+    unaffected by pad rows, so this equals the exact-length computation).
+    """
     x, time, embedding, features = cm.autocast(params, x, time, embedding, features)
     mapping = _gelu(_time_embedding(params["to_time"]["0"], time))
     if features is not None and "to_features" in params:
@@ -171,10 +189,14 @@ def denoiser_apply(
     for i in range(len(params["blocks"])):
         blk = params["blocks"][str(i)]
         h = h + mapping[:, None, :]
-        h = h + _attention(blk["attention"], h, num_heads, style)
+        h = h + _attention(blk["attention"], h, num_heads, style, mask)
         h = h + _feed_forward(blk["feed_forward"], h)
 
-    h = h.mean(axis=1)                               # (B, features)
+    if mask is None:
+        h = h.mean(axis=1)                           # (B, features)
+    else:
+        m = mask.astype(h.dtype)[..., None]
+        h = (h * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
     out = params["to_out"]["1"]
     y = linear(h, out["weight"][:, :, 0], out["bias"])
     return y[:, None, :]
@@ -200,6 +222,7 @@ def denoiser_cfg_apply(
     features: Optional[jnp.ndarray] = None,
     num_heads: int = 8,
     style_conditioned: bool = False,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Classifier-free-guided forward (ref: modules.py:402-427).
 
@@ -208,13 +231,14 @@ def denoiser_cfg_apply(
     """
     if embedding_scale == 1.0:
         return denoiser_apply(params, x, time, embedding, features,
-                              num_heads, style_conditioned)
+                              num_heads, style_conditioned, mask)
     b = x.shape[0]
     fix = fixed_embedding(params, b, embedding.shape[1])
     x2 = jnp.concatenate([x, x], axis=0)
     t2 = jnp.concatenate([time, time], axis=0)
     e2 = jnp.concatenate([embedding, fix], axis=0)
     f2 = None if features is None else jnp.concatenate([features, features], axis=0)
-    out = denoiser_apply(params, x2, t2, e2, f2, num_heads, style_conditioned)
+    m2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
+    out = denoiser_apply(params, x2, t2, e2, f2, num_heads, style_conditioned, m2)
     cond, uncond = out[:b], out[b:]
     return uncond + (cond - uncond) * embedding_scale

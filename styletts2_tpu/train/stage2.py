@@ -201,8 +201,10 @@ class Stage2Trainer:
                 noise = jax.random.normal(jax.random.fold_in(key, 22),
                                           (b, 1, mp.style_dim * 2))
                 sigmas = S.karras_schedule(num_diff_steps)
+                # clamp=False: ref builds its sampler unclamped
+                # (train_second.py:418-422)
                 s_preds = S.adpm2_sample(jax.random.fold_in(key, 23), noise, fn,
-                                         sigmas, num_diff_steps)[:, 0, :]
+                                         sigmas, num_diff_steps, clamp=False)[:, 0, :]
                 loss_sty = jnp.mean(jnp.abs(s_preds - s_trg))
             else:
                 sigma_data = sigma_data_in
@@ -340,7 +342,8 @@ class Stage2Trainer:
                 run_discriminator=slm_run_disc,
                 frame_capacity=slm_frame_capacity,
                 mel_len=min(adv.min_len // 2, mel_len),
-                use_rec=slm_use_rec, real_alt=slm_real_alt)
+                use_rec=slm_use_rec, real_alt=slm_real_alt,
+                sigma_data=aux["sigma_data"])
             return (out.d_loss if slm_run_disc else out.gen_loss), out
 
         def step(params, opt_states, batch, key, sigma_data) -> Stage2Outputs:
