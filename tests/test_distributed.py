@@ -95,12 +95,12 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(nproc):
+def _run_workers(nproc, mode="full"):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(nproc), str(pid), str(port)],
+        [sys.executable, WORKER, str(nproc), str(pid), str(port), mode],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(nproc)]
     outs = []
@@ -119,6 +119,21 @@ def _run_workers(nproc):
             if line.startswith("METRICS "):
                 return json.loads(line[len("METRICS "):])
     raise AssertionError(f"no METRICS line:\n{outs[0][-4000:]}")
+
+
+def test_two_process_light_step_matches_single_process():
+    """Default-suite multi-process coverage: jax.distributed bring-up, gloo
+    CPU collectives, host_global_min consensus, per-process shard assembly,
+    and the cross-process gradient all-reduce — on a small graph that
+    compiles in seconds (the full stage-2 variant below stays opt-in)."""
+    single = _run_workers(1, mode="light")
+    double = _run_workers(2, mode="light")
+    assert set(single) == set(double)
+    for k in single:
+        assert np.isfinite(single[k]) and np.isfinite(double[k]), k
+        np.testing.assert_allclose(
+            double[k], single[k], rtol=2e-5, atol=1e-7,
+            err_msg=f"metric {k} diverged between 1- and 2-process runs")
 
 
 @pytest.mark.skipif(os.environ.get("STYLETTS2_DIST_TESTS") != "1",
