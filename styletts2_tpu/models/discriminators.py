@@ -16,6 +16,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..audio.stft import hann_window, stft
 from . import common as cm
@@ -214,13 +215,16 @@ def _packed_conv(p: Dict, x: jnp.ndarray, kh_pad: int, stride_w: int,
     off0 = (-pad_w) % P
     span = off0 + stride_w * (P - 1) + kw
     n_slots = -(-span // P)
-    wexp = jnp.zeros((P * c_out, P * c_in, kh, n_slots), w.dtype)
+    # static 0/1 selector: sel[q, k, r, j] = 1 iff tap k of lane-block q lands
+    # in input lane-block r of slot j.  One einsum replaces P*kw traced
+    # scatter ops (trace time and HLO size both scale with the tower depth).
+    sel = np.zeros((P, kw, P, n_slots), np.float32)
     for q in range(P):
         for k in range(kw):
             t = off0 + stride_w * q + k
-            wexp = wexp.at[q * c_out:(q + 1) * c_out,
-                           (t % P) * c_in:(t % P + 1) * c_in,
-                           :, t // P].add(w[:, :, :, k])
+            sel[q, k, t % P, t // P] = 1.0
+    wexp = jnp.einsum("oihk,qkrj->qorihj", w, jnp.asarray(sel, w.dtype))
+    wexp = wexp.reshape(P * c_out, P * c_in, kh, n_slots)
     start0 = (0 * stride_w * P - pad_w - off0) // P
     pad_l = max(0, -start0)
     o_last = w_out // P - 1

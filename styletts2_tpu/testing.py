@@ -56,8 +56,11 @@ def tiny_zoo(multispeaker: bool = False, decoder_type: str = "istftnet",
                     token_embedding_dim=16, location_kernel_size=7)
     jdc = JDCConfig(lstm_hidden=8, lstm_layers=1)
     whisper = tiny_whisper_cfg()
-    zoo = build_zoo(jax.random.PRNGKey(seed), mp, plbert, asr, jdc, whisper,
-                    include_slm=include_slm, decoder_width=64, decoder_asr_res_ch=8)
+    # jit the whole init: the eager build dispatches hundreds of one-op
+    # programs at ~30 ms XLA-CPU compile each; jitted it is one program
+    zoo = jax.jit(lambda k: build_zoo(
+        k, mp, plbert, asr, jdc, whisper, include_slm=include_slm,
+        decoder_width=64, decoder_asr_res_ch=8))(jax.random.PRNGKey(seed))
     cfgs = zoo_configs(mp, plbert, asr, jdc, whisper)
     return zoo, cfgs
 
