@@ -20,12 +20,65 @@ import jax
 import jax.numpy as jnp
 
 from ...nn.conv import interpolate_linear
-from ...nn.linear import linear
 from .. import common as cm
 
 
 def init_source_module(key, harmonic_num: int = 8) -> Dict:
     return {"l_linear": cm.init_linear(key, harmonic_num + 1, 1)}
+
+
+def _sine_gen_cf(
+    key: Optional[jax.Array],
+    f0_cf: jnp.ndarray,              # (B, 1, T_audio) upsampled F0, 0 when unvoiced
+    upsample_scale: int,
+    sampling_rate: int = 24000,
+    harmonic_num: int = 8,
+    sine_amp: float = 0.1,
+    noise_std: float = 0.003,
+    voiced_threshold: float = 10.0,
+    deterministic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Channel-first core: returns (sine_waves, uv, noise) as (B, dim|1, T).
+
+    Everything runs (B, harmonics, T) so the long audio axis sits on the
+    TPU's 128-lane dimension; the (B, T, 9) layout wastes 119/128 lanes on
+    every elementwise pass (measured: the source branch alone cost 74 ms of
+    a 212 ms full-decoder call at bench shapes).  The RNG draws keep the
+    reference's (B, T, dim) shapes so injected-noise parity tests stay
+    bit-identical, paying one transposed read each.
+    """
+    # Phase integration must run in float32: a bf16 cumsum over tens of
+    # thousands of samples destroys pitch accuracy.
+    f0_cf = f0_cf.astype(jnp.float32)
+    b, _, t = f0_cf.shape
+    dim = harmonic_num + 1
+    harmonics = jnp.arange(1, dim + 1, dtype=f0_cf.dtype)
+    fn = f0_cf * harmonics[None, :, None]                   # (B, dim, T)
+    rad = (fn / sampling_rate) % 1.0
+
+    if not deterministic and key is not None:
+        rand_ini = jax.random.uniform(jax.random.fold_in(key, 0), (b, dim))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
+        rad = rad.at[:, :, 0].add(rand_ini)
+
+    # decimate -> integrate -> upsample phase, all (B, dim, T)
+    rad_lo = interpolate_linear(rad, scale_factor=1.0 / upsample_scale)
+    phase_lo = jnp.cumsum(rad_lo, axis=-1) * (2.0 * jnp.pi)
+    phase = interpolate_linear(phase_lo * upsample_scale,
+                               scale_factor=float(upsample_scale))
+    sines = jnp.sin(phase)                                  # (B, dim, T)
+
+    sine_waves = sines * sine_amp
+    uv = (f0_cf > voiced_threshold).astype(f0_cf.dtype)     # (B, 1, T)
+    noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
+    if deterministic or key is None:
+        noise = jnp.zeros_like(sine_waves)
+    else:
+        # drawn in the reference's (B, T, dim) shape for bit-exact parity
+        noise = noise_amp * jnp.swapaxes(jax.random.normal(
+            jax.random.fold_in(key, 1), (b, t, dim)), 1, 2)
+    sine_waves = sine_waves * uv + noise
+    return sine_waves, uv, noise
 
 
 def sine_gen(
@@ -39,39 +92,14 @@ def sine_gen(
     voiced_threshold: float = 10.0,
     deterministic: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (sine_waves, uv, noise), each (B, T_audio, harmonic_num+1[|1])."""
-    # Phase integration must run in float32: a bf16 cumsum over tens of
-    # thousands of samples destroys pitch accuracy.
-    f0 = f0.astype(jnp.float32)
-    b, t, _ = f0.shape
-    dim = harmonic_num + 1
-    harmonics = jnp.arange(1, dim + 1, dtype=f0.dtype)
-    fn = f0 * harmonics[None, None, :]                      # (B, T, dim)
-    rad = (fn / sampling_rate) % 1.0
+    """Returns (sine_waves, uv, noise), each (B, T_audio, harmonic_num+1[|1]).
 
-    if not deterministic and key is not None:
-        rand_ini = jax.random.uniform(jax.random.fold_in(key, 0), (b, dim))
-        rand_ini = rand_ini.at[:, 0].set(0.0)
-        rad = rad.at[:, 0, :].add(rand_ini)
-
-    # (B, dim, T) -> decimate -> integrate -> upsample phase
-    rad_cf = jnp.swapaxes(rad, 1, 2)
-    rad_lo = interpolate_linear(rad_cf, scale_factor=1.0 / upsample_scale)
-    phase_lo = jnp.cumsum(jnp.swapaxes(rad_lo, 1, 2), axis=1) * (2.0 * jnp.pi)
-    phase = interpolate_linear(
-        jnp.swapaxes(phase_lo, 1, 2) * upsample_scale, scale_factor=float(upsample_scale)
-    )
-    sines = jnp.sin(jnp.swapaxes(phase, 1, 2))              # (B, T, dim)
-
-    sine_waves = sines * sine_amp
-    uv = (f0 > voiced_threshold).astype(f0.dtype)           # (B, T, 1)
-    noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
-    if deterministic or key is None:
-        noise = jnp.zeros_like(sine_waves)
-    else:
-        noise = noise_amp * jax.random.normal(jax.random.fold_in(key, 1), sine_waves.shape)
-    sine_waves = sine_waves * uv + noise
-    return sine_waves, uv, noise
+    Torch-layout wrapper over the channel-first core (see _sine_gen_cf)."""
+    sine_waves, uv, noise = _sine_gen_cf(
+        key, jnp.swapaxes(f0, 1, 2), upsample_scale, sampling_rate,
+        harmonic_num, sine_amp, noise_std, voiced_threshold, deterministic)
+    return (jnp.swapaxes(sine_waves, 1, 2), jnp.swapaxes(uv, 1, 2),
+            jnp.swapaxes(noise, 1, 2))
 
 
 def source_module_apply(
@@ -85,17 +113,23 @@ def source_module_apply(
     voiced_threshold: float = 10.0,
     deterministic: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (harmonic_source (B,T,1), noise_source (B,T,1), uv (B,T,1))."""
-    sine_wavs, uv, _ = sine_gen(
-        key, f0, upsample_scale, sampling_rate, harmonic_num,
-        sine_amp=sine_amp, voiced_threshold=voiced_threshold,
+    """Returns (harmonic_source (B,T,1), noise_source (B,T,1), uv (B,T,1)).
+
+    Internals run channel-first (see _sine_gen_cf); only the returns are in
+    the reference's (B, T, 1) layout."""
+    sine_wavs, uv_cf, _ = _sine_gen_cf(
+        key, jnp.swapaxes(f0, 1, 2), upsample_scale, sampling_rate,
+        harmonic_num, sine_amp=sine_amp, voiced_threshold=voiced_threshold,
         deterministic=deterministic,
     )
     # The reference treats the sine bank as a frozen source (no_grad);
     # mirror that so gradients only flow through the merge projection.
-    sine_wavs = jax.lax.stop_gradient(sine_wavs)
+    sine_wavs = jax.lax.stop_gradient(sine_wavs)      # (B, dim, T)
     p = params["l_linear"]
-    sine_merge = jnp.tanh(linear(sine_wavs, p["weight"], p["bias"]))
+    # linear over the harmonic axis: (B, dim, T) x (1, dim) -> (B, 1, T)
+    merged = jnp.einsum("bdt,od->bot", sine_wavs, p["weight"]) + p["bias"][None, :, None]
+    sine_merge = jnp.swapaxes(jnp.tanh(merged), 1, 2)  # (B, T, 1)
+    uv = jnp.swapaxes(uv_cf, 1, 2)
     if deterministic or key is None:
         noise = jnp.zeros_like(uv)
     else:
