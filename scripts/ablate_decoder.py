@@ -31,7 +31,7 @@ def _time(fn, *args, iters=10):
     out = fn(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
     _ = float(leaf.ravel()[0].astype("float32"))
-    best = None
+    last = None
     for _round in range(2):
         t0 = time.perf_counter()
         acc = None
@@ -40,8 +40,10 @@ def _time(fn, *args, iters=10):
             s = jax.tree_util.tree_leaves(out)[0].ravel()[0].astype("float32")
             acc = s if acc is None else acc + s
         _ = float(acc)
-        best = (time.perf_counter() - t0) / iters * 1000.0
-    return best
+        # second-window methodology: report the LAST window, not a min —
+        # the first window after a fresh compile pays allocator reorganization
+        last = (time.perf_counter() - t0) / iters * 1000.0
+    return last
 
 
 def main():
@@ -54,8 +56,7 @@ def main():
     from styletts2_tpu.audio.stft import stft_mag_phase, istft_from_mag_phase
     from styletts2_tpu.config import ModelParams
     from styletts2_tpu.models import common as cm
-    from styletts2_tpu.models.adain_blocks import (adain_resblk1d_apply,
-                                                   init_adain_resblk1d)
+    from styletts2_tpu.models.adain_blocks import adain_resblk1d_apply
     from styletts2_tpu.models.decoder.istftnet import init_decoder
     from styletts2_tpu.models.decoder.resblock import adain_resblock1_apply
     from styletts2_tpu.models.decoder.source import source_module_apply

@@ -23,7 +23,7 @@ def _time(fn, *args, iters=10):
 
     out = fn(*args)
     _ = float(out.ravel()[0].astype("float32"))
-    best = None
+    last = None
     for _round in range(2):
         t0 = time.perf_counter()
         acc = None
@@ -32,8 +32,10 @@ def _time(fn, *args, iters=10):
             s = out.ravel()[0].astype("float32")
             acc = s if acc is None else acc + s
         _ = float(acc)
-        best = (time.perf_counter() - t0) / iters * 1000.0
-    return best
+        # second-window methodology: report the LAST window, not a min —
+        # the first window after a fresh compile pays allocator reorganization
+        last = (time.perf_counter() - t0) / iters * 1000.0
+    return last
 
 
 def main():
