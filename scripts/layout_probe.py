@@ -70,8 +70,28 @@ def main():
                     padding=((pad, pad),), rhs_dilation=(d,),
                     dimension_numbers=("NHC", "HIO", "NHC"))
 
+            def tapmm(x, w=w, k=k, d=d, pad=pad, t=t, c=c):
+                # K shifted (B*T, C) @ (C, C) matmuls, accumulated — the
+                # conv as explicit MXU work with no im2col materialization
+                wt = jnp.transpose(w, (2, 1, 0))  # (K, C_in, C_out)
+                xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+                acc = None
+                for i in range(k):
+                    part = xp[:, i * d: i * d + t, :] @ wt[i]
+                    acc = part if acc is None else acc + part
+                return acc
+
+            def im2col(x, w=w, k=k, d=d, pad=pad, t=t, c=c):
+                wt = jnp.transpose(w, (2, 1, 0)).reshape(k * c, c)
+                xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+                taps = [xp[:, i * d: i * d + t, :] for i in range(k)]
+                xc = jnp.concatenate(taps, axis=-1)  # (B, T, K*C)
+                return xc @ wt
+
             results[f"{name}_k{k}d{d}_ncw"] = _time(jax.jit(ncw), x)
             results[f"{name}_k{k}d{d}_nwc"] = _time(jax.jit(nwc), xl)
+            results[f"{name}_k{k}d{d}_tapmm"] = _time(jax.jit(tapmm), xl)
+            results[f"{name}_k{k}d{d}_im2col"] = _time(jax.jit(im2col), xl)
 
     # conv_transpose upsamplers (512->256 stride 10 k20 @800; 256->128 s6 k12 @8000)
     for name, (ci, co, s_, k, t) in {
@@ -93,8 +113,36 @@ def main():
                 padding=((pad_lo, pad_lo),), lhs_dilation=(s_,),
                 dimension_numbers=("NHC", "HIO", "NHC"))
 
+        # subpixel: gather the weight's stride-u phases into one dense
+        # (nm*Ci, u*Co) matrix; y[to*u+r] = sum_m x[to+m] w[pad_lo-r+m*u]
+        # (w here is the pre-flipped lax form the ncw_t variant consumes)
+        import math as _math
+        wn = np.asarray(w, np.float64)  # (co, ci, k)
+        m_lo = _math.ceil(-pad_lo / s_)
+        m_hi = (k - 1 - pad_lo + s_ - 1) // s_
+        nm = m_hi - m_lo + 1
+        W = np.zeros((nm, ci, s_, co), np.float64)
+        for r in range(s_):
+            for mi, m in enumerate(range(m_lo, m_hi + 1)):
+                tap = pad_lo - r + m * s_
+                if 0 <= tap < k:
+                    W[mi, :, r, :] = wn[:, :, tap].T
+        Wj = jnp.asarray(W.reshape(nm * ci, s_ * co), dt)
+
+        def subpix(x, W=Wj, nm=nm, m_lo=m_lo, m_hi=m_hi, t=t, s_=s_, co=co):
+            xp = jnp.pad(x, ((0, 0), (-m_lo, m_hi), (0, 0)))
+            taps = [xp[:, mi: mi + t, :] for mi in range(nm)]
+            xc = jnp.concatenate(taps, axis=-1)           # (B, T, nm*Ci)
+            y = xc @ W                                     # (B, T, u*Co)
+            return y.reshape(y.shape[0], t * s_, co)
+
+        err = float(jnp.max(jnp.abs(
+            subpix(xl[:1]) - jnp.swapaxes(ncw_t(x[:1]), 1, 2))).astype(jnp.float32))
+        results[f"{name}_subpix_maxerr"] = err
+
         results[f"{name}_ncw"] = _time(jax.jit(ncw_t), x)
         results[f"{name}_nwc"] = _time(jax.jit(nwc_t), xl)
+        results[f"{name}_subpix"] = _time(jax.jit(subpix), xl)
 
     print(json.dumps({k: round(v, 3) for k, v in results.items()}, indent=1))
 

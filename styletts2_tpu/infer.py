@@ -171,7 +171,8 @@ class InferenceEngine:
             frames = pred_dur.sum(axis=1)
             f0, n = prosody_f0n_apply(zoo["predictor"], en, s, lengths=frames)
             wav = decoder_mod.decoder_apply(zoo["decoder"], mp.decoder, asr, f0, n,
-                                            ref, key=source_key, lengths=frames)
+                                            ref, key=source_key, lengths=frames,
+                                            fused=True)
             return wav[:, 0, :]
 
         if noisy_source:

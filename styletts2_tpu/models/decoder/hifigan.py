@@ -73,8 +73,15 @@ def generator_apply(
     key: Optional[jax.Array] = None,
     deterministic: bool = True,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames at T_mel rate
+    fused: bool = False,
 ) -> jnp.ndarray:
-    """Returns waveform (B, 1, T_samples) (ref: Modules/hifigan.py:320-346)."""
+    """Returns waveform (B, 1, T_samples) (ref: Modules/hifigan.py:320-346).
+
+    ``fused=True``: MRF resblocks through the fused Pallas round kernel
+    (see istftnet.generator_apply) — inference only."""
+    from ...ops.fused import resolve_mrf_round
+    from .istftnet import _mrf_stage_fused, _noise_res_fused
+    impl = resolve_mrf_round() if fused else None
     rates = cfg.upsample_rates
     num_kernels = len(cfg.resblock_kernel_sizes)
     upsample_scale = _prod(rates)
@@ -104,8 +111,13 @@ def generator_apply(
             for r_ in rates[: i + 1]:
                 mult *= r_
             stage_lengths = lengths * mult
-        x_source = adain_resblock1_apply(params["noise_res"][str(i)], x_source, s,
-                                         nres_k, (1, 3, 5), lengths=stage_lengths)
+        if impl is not None:
+            x_source = _noise_res_fused(params["noise_res"][str(i)], x_source,
+                                        s, nres_k, stage_lengths, impl)
+        else:
+            x_source = adain_resblock1_apply(params["noise_res"][str(i)],
+                                             x_source, s, nres_k, (1, 3, 5),
+                                             lengths=stage_lengths)
         up = params["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
         x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
@@ -114,14 +126,17 @@ def generator_apply(
         if x_source.shape[-1] < x.shape[-1]:
             x_source = jnp.pad(x_source, ((0, 0), (0, 0), (0, x.shape[-1] - x_source.shape[-1])))
         x = x + x_source
-        xs = None
-        for j in range(num_kernels):
-            r = adain_resblock1_apply(
-                params["resblocks"][str(i * num_kernels + j)], x, s,
-                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j],
-                lengths=stage_lengths)
-            xs = r if xs is None else xs + r
-        x = xs / num_kernels
+        if impl is not None:
+            x = _mrf_stage_fused(params, cfg, x, s, i, stage_lengths, impl)
+        else:
+            xs = None
+            for j in range(num_kernels):
+                r = adain_resblock1_apply(
+                    params["resblocks"][str(i * num_kernels + j)], x, s,
+                    cfg.resblock_kernel_sizes[j],
+                    cfg.resblock_dilation_sizes[j], lengths=stage_lengths)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
 
     x = snake(x, params["alphas"][str(len(rates))])
     x = cm.wn_conv1d(params["conv_post"], x, padding=3)
@@ -158,6 +173,7 @@ def decoder_apply(
     key: Optional[jax.Array] = None,
     train: bool = False,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid T_en frames
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Full HiFi-GAN decoder forward (ref: Modules/hifigan.py:445-474)."""
     asr, f0_curve, n_curve, s = cm.autocast(params, asr, f0_curve, n_curve, s)
@@ -186,4 +202,5 @@ def decoder_apply(
     # reference adds SineGen dither at inference too.
     return generator_apply(params["generator"], cfg, x, s, f0_curve,
                            key=key, deterministic=key is None,
-                           lengths=None if lengths is None else lengths * 2)
+                           lengths=None if lengths is None else lengths * 2,
+                           fused=fused and not train)

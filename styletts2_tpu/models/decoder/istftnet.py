@@ -74,6 +74,50 @@ def init_generator(key, cfg: DecoderConfig, style_dim: int = 128) -> Dict:
     return p
 
 
+def _mrf_stage_fused(params, cfg, x, s, stage: int, stage_lengths, impl: str):
+    """All MRF resblocks of one generator stage through the fused Pallas
+    round kernel: one guarded channels-last pack, ONE stats reduction shared
+    by the stage's resblocks, chained stats inside each resblock, one unpack.
+    """
+    from ...ops.pallas.mrf_round_kernel import (
+        masked_stats_guarded, pack_guarded, pick_t_blk, unpack_guarded)
+    from .resblock import adain_resblock1_fused
+
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    b, _, t_cur = x.shape
+    t_blk = pick_t_blk(t_cur)
+    lens = (jnp.full((b,), t_cur, jnp.int32) if stage_lengths is None
+            else jnp.minimum(stage_lengths, t_cur).astype(jnp.int32))
+    x_pad = pack_guarded(x, t_blk)
+    stats = masked_stats_guarded(x_pad, lens, t_blk, t_cur)
+    xs_pad = None
+    for j in range(num_kernels):
+        r_pad, _ = adain_resblock1_fused(
+            params["resblocks"][str(stage * num_kernels + j)], x_pad, s,
+            cfg.resblock_kernel_sizes[j],
+            cfg.resblock_dilation_sizes[j], lens, t_cur, t_blk,
+            stats=stats, interpret=impl == "interpret")
+        xs_pad = r_pad if xs_pad is None else xs_pad + r_pad
+    return unpack_guarded(xs_pad, t_blk, t_cur) / num_kernels
+
+
+def _noise_res_fused(params, x_source, s, nres_k: int, stage_lengths,
+                     impl: str):
+    """The source-branch AdainResBlock1 through the fused kernel."""
+    from ...ops.pallas.mrf_round_kernel import (
+        pack_guarded, pick_t_blk, unpack_guarded)
+    from .resblock import adain_resblock1_fused
+
+    b, _, t_cur = x_source.shape
+    t_blk = pick_t_blk(t_cur)
+    lens = (jnp.full((b,), t_cur, jnp.int32) if stage_lengths is None
+            else jnp.minimum(stage_lengths, t_cur).astype(jnp.int32))
+    out_pad, _ = adain_resblock1_fused(
+        params, pack_guarded(x_source, t_blk), s, nres_k, (1, 3, 5),
+        lens, t_cur, t_blk, interpret=impl == "interpret")
+    return unpack_guarded(out_pad, t_blk, t_cur)
+
+
 def generator_apply(
     params: Dict,
     cfg: DecoderConfig,
@@ -83,8 +127,16 @@ def generator_apply(
     key: Optional[jax.Array] = None,
     deterministic: bool = True,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames at T_mel rate
+    fused: bool = False,
 ) -> jnp.ndarray:
-    """Returns waveform (B, 1, T_samples) (ref: Modules/istftnet.py:349-379)."""
+    """Returns waveform (B, 1, T_samples) (ref: Modules/istftnet.py:349-379).
+
+    ``fused=True`` routes every MRF resblock (noise_res + the per-stage MRF
+    stack) through the fused Pallas round kernel when
+    ``ops.fused.resolve_mrf_round()`` enables it — inference only (the
+    kernel defines no VJP)."""
+    from ...ops.fused import resolve_mrf_round
+    impl = resolve_mrf_round() if fused else None
     rates = cfg.upsample_rates
     n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
     num_kernels = len(cfg.resblock_kernel_sizes)
@@ -118,8 +170,13 @@ def generator_apply(
             for r_ in rates[: i + 1]:
                 mult *= r_
             stage_lengths = lengths * mult
-        x_source = adain_resblock1_apply(params["noise_res"][str(i)], x_source, s,
-                                         nres_k, (1, 3, 5), lengths=stage_lengths)
+        if impl is not None:
+            x_source = _noise_res_fused(params["noise_res"][str(i)], x_source,
+                                        s, nres_k, stage_lengths, impl)
+        else:
+            x_source = adain_resblock1_apply(params["noise_res"][str(i)],
+                                             x_source, s, nres_k, (1, 3, 5),
+                                             lengths=stage_lengths)
         up = params["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
         x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
@@ -132,14 +189,17 @@ def generator_apply(
         if x_source.shape[-1] < x.shape[-1]:
             x_source = jnp.pad(x_source, ((0, 0), (0, 0), (0, x.shape[-1] - x_source.shape[-1])))
         x = x + x_source
-        xs = None
-        for j in range(num_kernels):
-            r = adain_resblock1_apply(
-                params["resblocks"][str(i * num_kernels + j)], x, s,
-                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j],
-                lengths=stage_lengths)
-            xs = r if xs is None else xs + r
-        x = xs / num_kernels
+        if impl is not None:
+            x = _mrf_stage_fused(params, cfg, x, s, i, stage_lengths, impl)
+        else:
+            xs = None
+            for j in range(num_kernels):
+                r = adain_resblock1_apply(
+                    params["resblocks"][str(i * num_kernels + j)], x, s,
+                    cfg.resblock_kernel_sizes[j],
+                    cfg.resblock_dilation_sizes[j], lengths=stage_lengths)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
 
     x = cm.leaky_relu(x, 0.01)
     x = cm.wn_conv1d(params["conv_post"], x, padding=3)
@@ -199,6 +259,7 @@ def decoder_apply(
     key: Optional[jax.Array] = None,
     train: bool = False,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid T_en frames (padded batches)
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Full decoder forward -> waveform (B, 1, T_samples)
     (ref: Modules/istftnet.py:498-527)."""
@@ -231,4 +292,5 @@ def decoder_apply(
     # deterministic mode passes key=None.
     return generator_apply(params["generator"], cfg, x, s, f0_curve,
                            key=key, deterministic=key is None,
-                           lengths=None if lengths is None else lengths * 2)
+                           lengths=None if lengths is None else lengths * 2,
+                           fused=fused and not train)

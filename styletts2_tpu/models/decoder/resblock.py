@@ -38,6 +38,56 @@ def init_adain_resblock1(key, channels: int, kernel_size: int = 3,
     return p
 
 
+def adain_resblock1_fused(p: Dict, x_pad: jnp.ndarray, s: jnp.ndarray,
+                          kernel_size: int, dilation: Sequence[int],
+                          lengths: jnp.ndarray, t: int, t_blk: int,
+                          stats=None, interpret: bool = False):
+    """Fused-kernel resblock on a guarded channels-last buffer.
+
+    Same math as ``adain_resblock1_apply`` but each of the 6
+    AdaIN->Snake->conv rounds is ONE Pallas pass
+    (ops/pallas/mrf_round_kernel.py) and the instance-norm statistics chain
+    through the kernel's emitted partials — only the caller-supplied
+    ``stats`` of the input (shared across a stage's resblocks) ever costs a
+    separate reduction.  Inference-only (no custom VJP).
+
+    Returns ``(out_pad, (mean, rstd) of out)``.
+    """
+    from ...nn.linear import linear
+    from ...ops.pallas.mrf_round_kernel import (
+        fused_mrf_round, masked_stats_guarded, pack_plane, stats_from_partials)
+    from ...nn.param_norm import weight_norm_kernel
+
+    if stats is None:
+        stats = masked_stats_guarded(x_pad, lengths, t_blk, t)
+    mean, rstd = stats
+    for i in range(3):
+        si = str(i)
+        w1 = jnp.transpose(weight_norm_kernel(p["convs1"][si]), (2, 1, 0))
+        w2 = jnp.transpose(weight_norm_kernel(p["convs2"][si]), (2, 1, 0))
+        a1 = linear(s, p["adain1"][si]["fc"]["weight"],
+                    p["adain1"][si]["fc"]["bias"])
+        g1, b1 = jnp.split(a1, 2, axis=-1)
+        a2 = linear(s, p["adain2"][si]["fc"]["weight"],
+                    p["adain2"][si]["fc"]["bias"])
+        g2, b2 = jnp.split(a2, 2, axis=-1)
+        h_pad, parts = fused_mrf_round(
+            x_pad,
+            pack_plane(mean, rstd, g1, b1, p["alpha1"][si].reshape(-1),
+                       p["convs1"][si]["bias"]),
+            w1, lengths, k=kernel_size, d=int(dilation[i]), t_blk=t_blk, t=t,
+            emit_stats=True, interpret=interpret)
+        mh, rh = stats_from_partials(parts, lengths, t)
+        x_pad, parts2 = fused_mrf_round(
+            h_pad,
+            pack_plane(mh, rh, g2, b2, p["alpha2"][si].reshape(-1),
+                       p["convs2"][si]["bias"]),
+            w2, lengths, k=kernel_size, d=1, t_blk=t_blk, t=t,
+            residual=x_pad, emit_stats=True, interpret=interpret)
+        mean, rstd = stats_from_partials(parts2, lengths, t)
+    return x_pad, (mean, rstd)
+
+
 def adain_resblock1_apply(p: Dict, x: jnp.ndarray, s: jnp.ndarray,
                           kernel_size: int = 3,
                           dilation: Sequence[int] = (1, 3, 5),

@@ -29,6 +29,30 @@ def set_adain_snake_impl(impl: str):
     ADAIN_SNAKE_IMPL = impl
 
 
+# Fused MRF round (norm+snake+conv in one Pallas pass with chained stats,
+# ops/pallas/mrf_round_kernel.py) for the vocoder generator's INFERENCE
+# path.  "auto" resolves to the Pallas kernel on TPU (measured 2.4x on the
+# generator stages — the AdaIN+Snake HBM passes vanish) and to the plain XLA
+# composition elsewhere; the kernel has no VJP, so training always uses the
+# unfused path regardless of this flag.
+MRF_ROUND_IMPL = "auto"  # auto | pallas | interpret | off
+
+
+def set_mrf_round_impl(impl: str):
+    global MRF_ROUND_IMPL
+    assert impl in ("auto", "pallas", "interpret", "off"), impl
+    MRF_ROUND_IMPL = impl
+
+
+def resolve_mrf_round() -> Optional[str]:
+    """None (use the XLA composition) or a Pallas mode for the fused path."""
+    if MRF_ROUND_IMPL == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else None
+    if MRF_ROUND_IMPL == "off":
+        return None
+    return MRF_ROUND_IMPL
+
+
 def _resolve() -> str:
     if ADAIN_SNAKE_IMPL != "auto":
         return ADAIN_SNAKE_IMPL
