@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ...config import DecoderConfig
-from ...nn.conv import conv1d, conv_transpose1d
+from ...nn.conv import conv1d, conv_transpose1d, conv_transpose1d_subpixel
 from ...nn.activations import snake
 from ...nn.param_norm import weight_norm_kernel
 from .. import common as cm
@@ -120,8 +120,9 @@ def generator_apply(
                                              lengths=stage_lengths)
         up = params["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
-        x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
-                             stride=u, padding=u // 2 + u % 2, output_padding=u % 2)
+        up_fn = conv_transpose1d_subpixel if k == 2 * u else conv_transpose1d
+        x = up_fn(x, weight_norm_kernel(up), up.get("bias"),
+                  stride=u, padding=u // 2 + u % 2, output_padding=u % 2)
         x_source = x_source[..., : x.shape[-1]]
         if x_source.shape[-1] < x.shape[-1]:
             x_source = jnp.pad(x_source, ((0, 0), (0, 0), (0, x.shape[-1] - x_source.shape[-1])))

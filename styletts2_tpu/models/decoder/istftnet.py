@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...audio.stft import hann_window, istft_from_mag_phase, stft_mag_phase
 from ...config import DecoderConfig
-from ...nn.conv import conv1d, conv_transpose1d
+from ...nn.conv import conv1d, conv_transpose1d, conv_transpose1d_subpixel
 from ...nn.param_norm import weight_norm_kernel
 from .. import common as cm
 from ..adain_blocks import adain_resblk1d_apply, init_adain_resblk1d
@@ -179,8 +179,10 @@ def generator_apply(
                                              lengths=stage_lengths)
         up = params["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
-        x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
-                             stride=u, padding=(k - u) // 2)
+        up_fn = (conv_transpose1d_subpixel if (k - u) % 2 == 0
+                 else conv_transpose1d)
+        x = up_fn(x, weight_norm_kernel(up), up.get("bias"),
+                  stride=u, padding=(k - u) // 2)
         if i == len(rates) - 1:
             # reflection_pad (1, 0)
             x = jnp.concatenate([x[..., 1:2], x], axis=-1)

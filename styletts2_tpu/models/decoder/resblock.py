@@ -41,7 +41,8 @@ def init_adain_resblock1(key, channels: int, kernel_size: int = 3,
 def adain_resblock1_fused(p: Dict, x_pad: jnp.ndarray, s: jnp.ndarray,
                           kernel_size: int, dilation: Sequence[int],
                           lengths: jnp.ndarray, t: int, t_blk: int,
-                          stats=None, interpret: bool = False):
+                          stats=None, interpret: bool = False,
+                          conv_mode: str = "taps"):
     """Fused-kernel resblock on a guarded channels-last buffer.
 
     Same math as ``adain_resblock1_apply`` but each of the 6
@@ -76,14 +77,15 @@ def adain_resblock1_fused(p: Dict, x_pad: jnp.ndarray, s: jnp.ndarray,
             pack_plane(mean, rstd, g1, b1, p["alpha1"][si].reshape(-1),
                        p["convs1"][si]["bias"]),
             w1, lengths, k=kernel_size, d=int(dilation[i]), t_blk=t_blk, t=t,
-            emit_stats=True, interpret=interpret)
+            emit_stats=True, interpret=interpret, conv_mode=conv_mode)
         mh, rh = stats_from_partials(parts, lengths, t)
         x_pad, parts2 = fused_mrf_round(
             h_pad,
             pack_plane(mh, rh, g2, b2, p["alpha2"][si].reshape(-1),
                        p["convs2"][si]["bias"]),
             w2, lengths, k=kernel_size, d=1, t_blk=t_blk, t=t,
-            residual=x_pad, emit_stats=True, interpret=interpret)
+            residual=x_pad, emit_stats=True, interpret=interpret,
+            conv_mode=conv_mode)
         mean, rstd = stats_from_partials(parts2, lengths, t)
     return x_pad, (mean, rstd)
 

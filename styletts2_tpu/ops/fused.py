@@ -17,7 +17,6 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..nn.activations import snake
 from ..nn.linear import linear
 
 ADAIN_SNAKE_IMPL = "auto"  # auto | pallas | xla | interpret
@@ -30,11 +29,18 @@ def set_adain_snake_impl(impl: str):
 
 
 # Fused MRF round (norm+snake+conv in one Pallas pass with chained stats,
-# ops/pallas/mrf_round_kernel.py) for the vocoder generator's INFERENCE
-# path.  "auto" resolves to the Pallas kernel on TPU (measured 2.4x on the
-# generator stages — the AdaIN+Snake HBM passes vanish) and to the plain XLA
-# composition elsewhere; the kernel has no VJP, so training always uses the
-# unfused path regardless of this flag.
+# ops/pallas/mrf_round_kernel.py).  Measured on the v5e at the stage-1
+# vocoder shapes (k=11 resblock, B=16, C=128, T=48001, bf16):
+#   XLA composition, original snake:           33.8 ms
+#   Pallas fused round (taps):                 38-40 ms
+#   XLA composition, polynomial snake:         20.5 ms   <- default
+#   Pallas fused round, polynomial snake:      24.9 ms
+# The pair's cost was the VPU sine (~9x an HBM pass), not memory passes;
+# with the cheap snake the XLA path wins because its conv emitter runs at
+# 60-70% MFU while the in-kernel per-tap dots pay a sublane realignment per
+# tap (~33% MFU; the im2col form does not lower in Mosaic).  "auto"
+# therefore resolves to the XLA composition everywhere; the kernel stays as
+# an opt-in ("pallas") for future Mosaic revisions.
 MRF_ROUND_IMPL = "auto"  # auto | pallas | interpret | off
 
 
@@ -46,9 +52,7 @@ def set_mrf_round_impl(impl: str):
 
 def resolve_mrf_round() -> Optional[str]:
     """None (use the XLA composition) or a Pallas mode for the fused path."""
-    if MRF_ROUND_IMPL == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else None
-    if MRF_ROUND_IMPL == "off":
+    if MRF_ROUND_IMPL in ("auto", "off"):
         return None
     return MRF_ROUND_IMPL
 
@@ -82,14 +86,31 @@ def adain_snake(adain_params: Dict, x: jnp.ndarray, s: jnp.ndarray,
             x, gamma.astype(jnp.float32), beta.astype(jnp.float32),
             alpha.reshape(-1).astype(jnp.float32), lens,
             impl == "interpret")
-    keep = None
-    if lengths is not None:
-        keep = jnp.arange(x.shape[-1])[None, :] < lengths[:, None]
-    y = (1.0 + gamma[:, :, None]) * _norm(x, keep) + beta[:, :, None]
-    return snake(y, alpha)
-
-
-def _norm(x, keep):
-    from ..nn.norm import instance_norm, masked_instance_norm1d
-
-    return instance_norm(x) if keep is None else masked_instance_norm1d(x, keep)
+    # Single-expression composition: two fused reduction passes for the
+    # statistics (centered variance — the E[x^2] one-pass form loses ~5e-3
+    # through the deep resblock chains once the snake drifts the mean) and
+    # ONE read+write pass for normalize+affine+snake, with no materialized
+    # f32 intermediate.  The previous instance_norm -> affine -> snake chain
+    # materialized two intermediates (~2.6 ms/pair vs ~1.1 ms at B=16,
+    # C=128, T=48000 bf16 — probe_chain.py); this form is what the fused
+    # Pallas round kernel failed to beat because XLA's conv emitter is
+    # already at 60-70% MFU.
+    xf = x.astype(jnp.float32)
+    t = x.shape[-1]
+    if lengths is None:
+        n = jnp.float32(t)
+        mean = jnp.mean(xf, axis=-1)                         # (B, C)
+        var = jnp.mean(jnp.square(xf - mean[:, :, None]), axis=-1)
+    else:
+        keep = (jnp.arange(t)[None, None, :] <
+                lengths[:, None, None]).astype(jnp.float32)
+        n = jnp.maximum(keep[:, 0, :].sum(-1), 1.0)[:, None]  # (B, 1)
+        mean = jnp.sum(xf * keep, axis=-1) / n
+        var = jnp.sum(jnp.square(xf - mean[:, :, None]) * keep, axis=-1) / n
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    u = ((xf - mean[:, :, None]) * rstd[:, :, None]
+         * (1.0 + gamma.astype(jnp.float32))[:, :, None]
+         + beta.astype(jnp.float32)[:, :, None])
+    from ..nn.activations import snake
+    y = snake(u, alpha.astype(jnp.float32).reshape(1, -1, 1))
+    return y.astype(x.dtype)

@@ -1,13 +1,18 @@
 """Fused MRF-round Pallas TPU kernel: norm -> style affine -> Snake -> dilated
 conv (+ optional residual), with chained instance-norm statistics.
 
-Motivation (measured, chained-rep probe on v5e — scripts/probe_chain.py):
-inside one compiled program an MRF conv runs at 60-70% MFU (k7: 1.5 ms, k11:
-2.0 ms at B=16, C=128, T=48000 bf16) but the AdaIN+Snake pair in front of it
-costs ~2.6 ms — ~5 HBM passes for what is mathematically one read and one
-write.  The vocoder generator runs this round 6x per resblock, 8 resblock
-units per call (ref: Modules/istftnet.py:27-81), so the pairs dominate the
-whole inference call.
+Status: OPT-IN (ops.fused.set_mrf_round_impl("pallas")), not the default.
+The kernel was built against a chained-rep probe (scripts/probe_chain.py)
+showing the AdaIN+Snake pair costing ~2.6 ms vs ~0.5 ms for one HBM pass at
+B=16, C=128, T=48000 bf16.  That cost turned out to be the VPU SINE (~9x an
+HBM pass), not memory traffic; with the polynomial snake
+(nn/activations.py) the plain XLA composition runs the k=11 resblock in
+20.5 ms vs 24.9 ms for this kernel — the in-kernel per-tap dots pay a
+sublane realignment per tap (~33% MFU vs XLA's conv emitter at 60-70%),
+and the im2col rewrite does not lower in Mosaic (lane-concat of
+sublane-misaligned slices).  Kept for future Mosaic revisions and as the
+reference for the guarded-buffer/chained-stats pattern; exact-parity tests
+in tests/test_mrf_fused.py keep it honest.
 
 This kernel does one round in ONE read + ONE write of the (B, T, C)
 activation:
@@ -55,7 +60,8 @@ ROWS = 8  # f32 sublane plane: [mean, rstd, gamma, beta, alpha, bias, 0, 0]
 
 def _round_kernel(lens_ref, xl_ref, xc_ref, xr_ref, plane_ref, w_ref,
                   *rest, k: int, d: int, t_blk: int, t: int, nblk: int,
-                  has_residual: bool, emit_stats: bool, out_dtype):
+                  has_residual: bool, emit_stats: bool, out_dtype,
+                  conv_mode: str = "taps"):
     if has_residual:
         res_ref = rest[0]
         rest = rest[1:]
@@ -90,8 +96,16 @@ def _round_kernel(lens_ref, xl_ref, xc_ref, xr_ref, plane_ref, w_ref,
         beta, alpha, bias = plane[3:4], plane[4:5], plane[5:6]
 
         u = g1 * ((xt - mean) * rstd) + beta
-        sau = jnp.sin(alpha * u)
-        act = u + sau * sau / alpha
+        # snake via range-reduced cosine polynomial (see nn/activations.py:
+        # XLA/Mosaic sin costs ~9x an HBM pass)
+        from ...nn.activations import _COS2PI
+        r = alpha * u * (1.0 / 3.141592653589793)
+        r = r - jnp.round(r)
+        sq = r * r
+        cs = jnp.float32(_COS2PI[-1])
+        for c_ in _COS2PI[-2::-1]:
+            cs = cs * sq + jnp.float32(c_)
+        act = u + (1.0 - cs) / (2.0 * alpha)
 
         # zero conv padding outside [0, T): halo spilling into the guard
         # blocks or the TP alignment tail must contribute nothing
@@ -100,10 +114,19 @@ def _round_kernel(lens_ref, xl_ref, xc_ref, xr_ref, plane_ref, w_ref,
         act = jnp.where(jnp.logical_and(p_halo >= 0, p_halo < t), act, 0.0)
         act = act.astype(out_dtype)                       # bf16 MXU rate
 
-        acc = jnp.zeros((t_blk, xc.shape[-1]), jnp.float32)
-        for kk in range(k):
-            acc = acc + jnp.dot(act[kk * d: kk * d + t_blk, :], w_ref[kk],
-                                preferred_element_type=jnp.float32)
+        if conv_mode == "im2col" and k > 1:
+            # one (T_blk, K*C) @ (K*C, C) dot: the K*C contraction keeps the
+            # MXU pipeline full where K separate C-contraction dots stall it
+            c_ = xc.shape[-1]
+            xcol = jnp.concatenate(
+                [act[kk * d: kk * d + t_blk, :] for kk in range(k)], axis=-1)
+            acc = jnp.dot(xcol, w_ref[...].reshape(k * c_, c_),
+                          preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.zeros((t_blk, xc.shape[-1]), jnp.float32)
+            for kk in range(k):
+                acc = acc + jnp.dot(act[kk * d: kk * d + t_blk, :], w_ref[kk],
+                                    preferred_element_type=jnp.float32)
         acc = acc + bias
         if has_residual:
             acc = acc + res_ref[...].astype(jnp.float32)
@@ -141,10 +164,11 @@ def pack_plane(mean, rstd, gamma, beta, alpha, bias):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "d", "t_blk", "t", "emit_stats", "interpret"))
+    static_argnames=("k", "d", "t_blk", "t", "emit_stats", "interpret",
+                     "conv_mode"))
 def fused_mrf_round(x_pad, plane, wt, lengths, *, k: int, d: int, t_blk: int,
                     t: int, residual=None, emit_stats: bool = True,
-                    interpret: bool = False):
+                    interpret: bool = False, conv_mode: str = "taps"):
     """One fused round on a guarded channels-last buffer.
 
     x_pad: (B, T_blk*(nblk+2), C) — rows [T_blk, T_blk+TP) hold data
@@ -186,7 +210,7 @@ def fused_mrf_round(x_pad, plane, wt, lengths, *, k: int, d: int, t_blk: int,
     kern = functools.partial(
         _round_kernel, k=k, d=d, t_blk=t_blk, t=t, nblk=nblk,
         has_residual=residual is not None, emit_stats=emit_stats,
-        out_dtype=x_pad.dtype)
+        out_dtype=x_pad.dtype, conv_mode=conv_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, nblk + 2),
@@ -212,8 +236,11 @@ def stats_from_partials(partials, lengths, t: int):
     n = jnp.maximum(jnp.minimum(lengths, t), 1).astype(jnp.float32)[:, None]
     mean = jnp.sum(s1, axis=1) / n
     mu_b = s1 / jnp.maximum(nb, 1.0)
-    m2_tot = jnp.sum(m2, axis=1) + jnp.sum(nb * mu_b * mu_b, axis=1) \
-        - n * mean * mean
+    # Chan combination with EXPLICIT (mu_b - mu)^2 — the difference-of-
+    # squares form (sum nb*mu_b^2 - n*mu^2) cancels catastrophically once
+    # the snake drifts the mean away from zero
+    dev = mu_b - mean[:, None, :]
+    m2_tot = jnp.sum(m2, axis=1) + jnp.sum(nb * dev * dev, axis=1)
     var = jnp.maximum(m2_tot, 0.0) / n
     rstd = jax.lax.rsqrt(var + EPS)
     return mean, rstd
