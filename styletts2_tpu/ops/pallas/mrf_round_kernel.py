@@ -66,7 +66,11 @@ def _round_kernel(lens_ref, xl_ref, xc_ref, xr_ref, plane_ref, w_ref,
         res_ref = rest[0]
         rest = rest[1:]
     y_ref = rest[0]
-    parts_ref = rest[1] if emit_stats else None
+    rest = rest[1:]
+    parts_ref = rest[0] if emit_stats else None
+    if emit_stats:
+        rest = rest[1:]
+    act_scratch = rest[0] if conv_mode == "scratch" else None
 
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -114,7 +118,17 @@ def _round_kernel(lens_ref, xl_ref, xc_ref, xr_ref, plane_ref, w_ref,
         act = jnp.where(jnp.logical_and(p_halo >= 0, p_halo < t), act, 0.0)
         act = act.astype(out_dtype)                       # bf16 MXU rate
 
-        if conv_mode == "im2col" and k > 1:
+        if conv_mode == "scratch" and k > 1:
+            # materialize the activation once in VMEM, then load each tap
+            # slice fresh from the scratch ref: the sublane offset becomes a
+            # memory address instead of a per-tap register realignment
+            act_scratch[...] = act
+            acc = jnp.zeros((t_blk, xc.shape[-1]), jnp.float32)
+            for kk in range(k):
+                tap = act_scratch[kk * d: kk * d + t_blk, :]
+                acc = acc + jnp.dot(tap, w_ref[kk],
+                                    preferred_element_type=jnp.float32)
+        elif conv_mode == "im2col" and k > 1:
             # one (T_blk, K*C) @ (K*C, C) dot: the K*C contraction keeps the
             # MXU pipeline full where K separate C-contraction dots stall it
             c_ = xc.shape[-1]
@@ -211,11 +225,16 @@ def fused_mrf_round(x_pad, plane, wt, lengths, *, k: int, d: int, t_blk: int,
         _round_kernel, k=k, d=d, t_blk=t_blk, t=t, nblk=nblk,
         has_residual=residual is not None, emit_stats=emit_stats,
         out_dtype=x_pad.dtype, conv_mode=conv_mode)
+    scratch_shapes = []
+    if conv_mode == "scratch":
+        scratch_shapes.append(
+            pltpu.VMEM((t_blk + 2 * pad, c), x_pad.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, nblk + 2),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
     args = [lengths.astype(jnp.int32), x_pad, x_pad, x_pad, plane, wt]
     if residual is not None:
