@@ -179,6 +179,52 @@ def conv_transpose1d(
     return y
 
 
+def conv1d_folded(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    dilation: int = 1,
+    fold: int = 2,
+) -> jnp.ndarray:
+    """'same'-padded conv1d with time folded into channels — exact.
+
+    Small-channel convs starve the 128-lane MXU: measured on the v5e, the
+    k=11 MRF conv runs at ~5% MFU at C=32 and ~18% at C=64 vs ~55% at
+    C=128 (HiFi-GAN's late stages).  Folding ``fold`` consecutive samples
+    into the channel axis turns it into a (fold*C)-channel conv with a
+    shorter kernel built from the original taps (structural zeros where a
+    (phase, row-offset) pair is unused): more FLOPs on paper, far faster on
+    the MXU.  Exact up to accumulation order; differentiable (pure lax).
+    """
+    bsz, c, t = x.shape
+    co, ci, k = w.shape
+    r = fold
+    pad = (k * dilation - dilation) // 2
+    offs = [(ro, kk, ro + kk * dilation - pad)
+            for ro in range(r) for kk in range(k)]
+    d_min = min(o // r for _, _, o in offs)
+    d_max = max(o // r for _, _, o in offs)
+    kf = d_max - d_min + 1
+    x, w = _match_dtypes(x, w)
+    wf = jnp.zeros((r * co, r * ci, kf), w.dtype)
+    for ro, kk, off in offs:
+        pm, delta = off % r, off // r
+        wf = wf.at[ro * co:(ro + 1) * co, pm * ci:(pm + 1) * ci,
+                   delta - d_min].set(w[:, :, kk])
+    tp = -(-t // r) * r
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, tp - t)))
+    xf = xp.reshape(bsz, c, tp // r, r)
+    xf = jnp.transpose(xf, (0, 3, 1, 2)).reshape(bsz, r * c, tp // r)
+    y = lax.conv_general_dilated(
+        xf, wf, window_strides=(1,), padding=((-d_min, d_max),),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    y = y.reshape(bsz, r, co, tp // r)
+    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(bsz, co, tp)[:, :, :t]
+    if b is not None:
+        y = y + b[None, :, None]
+    return y
+
+
 def conv_transpose1d_subpixel(
     x: jnp.ndarray,
     w: jnp.ndarray,
