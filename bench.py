@@ -98,7 +98,11 @@ def main():
     engine, mp = build()
     platform = jax.devices()[0].platform
     token_cap, frame_cap, steps = 64, 400, 5
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # throughput scales with batch on the v5e (fixed dispatch amortizes and
+    # the conv M-tiles fatten): 16 -> 1035, 32 -> 1357, 64 -> 1508,
+    # 128 -> 1752 audio-s/s measured round 4; 128 is the default serving
+    # batch (730 ms per 1280 audio-s call)
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
 
     if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" and platform == "tpu":
         from styletts2_tpu.utils import cast_pytree

