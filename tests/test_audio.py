@@ -117,3 +117,28 @@ def test_matmul_dft_matches_fft():
         np.testing.assert_allclose(got_spec.real, ref_spec.real, atol=2e-4)
         np.testing.assert_allclose(got_spec.imag, ref_spec.imag, atol=2e-4)
         np.testing.assert_allclose(got_wav, ref_wav, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_fft,hop", [(1024, 120), (512, 50), (400, 160), (64, 16)])
+def test_frame_signal_vjp_is_overlap_add(n_fft, hop):
+    """frame_signal's custom VJP (dense OLA, any hop) vs explicit slicing."""
+    import jax
+
+    from styletts2_tpu.audio.stft import frame_signal
+
+    t = 3 * n_fft + 7 * hop
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, t)),
+                    jnp.float32)
+    n_frames = 1 + (t - n_fft) // hop
+    scale = jnp.arange(n_fft, dtype=jnp.float32)
+
+    def loss(x):
+        return jnp.sum(jnp.square(frame_signal(x, n_fft, hop)) * scale)
+
+    def loss_ref(x):
+        f = jnp.stack([x[..., i * hop: i * hop + n_fft]
+                       for i in range(n_frames)], axis=-2)
+        return jnp.sum(jnp.square(f) * scale)
+
+    np.testing.assert_allclose(jax.grad(loss)(x), jax.grad(loss_ref)(x),
+                               atol=1e-5, rtol=1e-5)

@@ -220,3 +220,47 @@ def test_activations():
     xt, at = torch.tensor(x), torch.tensor(a)
     theirs = xt + (1 / at) * torch.sin(at * xt) ** 2
     assert_close(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("ci,co,k,d,t,fold", [
+    (32, 32, 11, 5, 97, 4), (64, 64, 7, 3, 100, 2), (16, 16, 3, 1, 64, 8)])
+def test_conv1d_folded_matches_torch(ci, co, k, d, t, fold):
+    """Channel-folded small-C conv (the HiFi-GAN MXU fix) vs torch conv1d."""
+    pad = (k * d - d) // 2
+    x = rnd(2, ci, t)
+    w = rnd(co, ci, k) * 0.05
+    b = rnd(co)
+    ref = tF.conv1d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                    padding=pad, dilation=d)
+    got = jconv.conv1d_folded(to_j(x), to_j(w), to_j(b), dilation=d, fold=fold)
+    assert_close(got, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ci,co,u,k,p,op", [
+    (64, 32, 10, 20, 5, 0), (32, 16, 6, 12, 3, 0),
+    (64, 32, 5, 10, 3, 1), (16, 8, 3, 6, 2, 1)])
+def test_conv_transpose1d_subpixel_matches_torch(ci, co, u, k, p, op):
+    """Subpixel-matmul transposed conv (vocoder upsamplers) vs torch."""
+    x = rnd(2, ci, 9)
+    w = rnd(ci, co, k) * 0.05
+    b = rnd(co)
+    ref = tF.conv_transpose1d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                              stride=u, padding=p, output_padding=op)
+    got = jconv.conv_transpose1d_subpixel(to_j(x), to_j(w), to_j(b),
+                                          stride=u, padding=p,
+                                          output_padding=op)
+    assert_close(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_snake_polynomial_matches_exact_form():
+    """Polynomial snake vs x + sin^2(alpha x)/alpha, values and gradients."""
+    import jax
+
+    x = to_j(rnd(3, 8, 50) * 30.0)   # large args stress the range reduction
+    alpha = to_j(np.abs(rnd(1, 8, 1)) + 0.3)
+    exact = x + (1.0 / alpha) * jnp.square(jnp.sin(alpha * x))
+    np.testing.assert_allclose(snake(x, alpha), exact, atol=2e-5, rtol=1e-5)
+    g_poly = jax.grad(lambda v: jnp.sum(snake(v, alpha)))(x)
+    g_exact = jax.grad(
+        lambda v: jnp.sum(v + (1.0 / alpha) * jnp.square(jnp.sin(alpha * v))))(x)
+    np.testing.assert_allclose(g_poly, g_exact, atol=1e-4, rtol=1e-4)
