@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...audio.stft import hann_window, istft_from_mag_phase, stft_mag_phase
+from ...nn.activations import sin_poly
 from ...config import DecoderConfig
 from ...nn.conv import conv1d, conv_transpose1d, conv_transpose1d_subpixel
 from ...nn.param_norm import weight_norm_kernel
@@ -206,7 +207,7 @@ def generator_apply(
     x = cm.leaky_relu(x, 0.01)
     x = cm.wn_conv1d(params["conv_post"], x, padding=3)
     spec = jnp.exp(x[:, : n_fft // 2 + 1, :])
-    phase = jnp.sin(x[:, n_fft // 2 + 1:, :])
+    phase = sin_poly(x[:, n_fft // 2 + 1:, :])
     wav = istft_from_mag_phase(spec, phase, n_fft, hop, n_fft)
     return wav[:, None, :]
 

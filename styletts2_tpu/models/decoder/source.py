@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ...nn.activations import sin2pi
 from ...nn.conv import interpolate_linear
 from .. import common as cm
 
@@ -61,12 +62,17 @@ def _sine_gen_cf(
         rand_ini = rand_ini.at[:, 0].set(0.0)
         rad = rad.at[:, :, 0].add(rand_ini)
 
-    # decimate -> integrate -> upsample phase, all (B, dim, T)
+    # decimate -> integrate -> upsample phase, all (B, dim, T).  The phase
+    # stays in *turns* (cycles) end to end: the reference's 2*pi scaling only
+    # exists to feed torch.sin, and sin2pi's round-based range reduction on
+    # the turns counter is both cheaper (no Payne-Hanek — sin over the
+    # audio-rate tensor measured ~9x an HBM pass) and more accurate for a
+    # monotone accumulator that reaches ~1e2 turns.
     rad_lo = interpolate_linear(rad, scale_factor=1.0 / upsample_scale)
-    phase_lo = jnp.cumsum(rad_lo, axis=-1) * (2.0 * jnp.pi)
-    phase = interpolate_linear(phase_lo * upsample_scale,
+    turns_lo = jnp.cumsum(rad_lo, axis=-1)
+    turns = interpolate_linear(turns_lo * upsample_scale,
                                scale_factor=float(upsample_scale))
-    sines = jnp.sin(phase)                                  # (B, dim, T)
+    sines = sin2pi(turns)                                   # (B, dim, T)
 
     sine_waves = sines * sine_amp
     uv = (f0_cf > voiced_threshold).astype(f0_cf.dtype)     # (B, 1, T)

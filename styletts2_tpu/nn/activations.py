@@ -28,6 +28,27 @@ def _cos2pi(r: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def sin2pi(r: jnp.ndarray) -> jnp.ndarray:
+    """sin(2*pi*r) for phase expressed in turns, via the cos polynomial.
+
+    ``sin(2*pi*r) = cos(2*pi*(r - 1/4))``.  Same motivation as ``snake``:
+    XLA's ``sin`` pays a Payne-Hanek range reduction (~9x an HBM pass on the
+    VPU); the round-based reduction + polynomial agrees to ~6e-7 and for
+    phase accumulators (monotone turns counters up to ~1e2) is *more*
+    accurate than feeding radians to ``sin`` — the turns value is reduced
+    before the 2*pi multiply ever happens.
+    """
+    rf = r.astype(jnp.float32)
+    return _cos2pi(rf - jnp.float32(0.25)).astype(r.dtype)
+
+
+def sin_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """sin(x) for radians input via the range-reduced cos polynomial."""
+    xf = x.astype(jnp.float32)
+    return _cos2pi(
+        xf * jnp.float32(0.5 / math.pi) - jnp.float32(0.25)).astype(x.dtype)
+
+
 def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """Snake1D: ``x + (1/alpha) * sin(alpha*x)^2`` (ref: Modules/istftnet.py:69).
 

