@@ -12,7 +12,7 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from ...nn.conv import conv1d, conv1d_folded
+from ...nn.conv import conv1d, conv1d_folded, mxu_conv_forms
 from ...nn.param_norm import weight_norm_kernel
 from ...ops.fused import adain_snake
 from .. import common as cm
@@ -96,9 +96,10 @@ def _mrf_conv(p: Dict, x: jnp.ndarray, kernel_size: int,
               dilation: int) -> jnp.ndarray:
     """Weight-normed 'same' MRF conv; small-channel towers fold time into
     channels (conv1d_folded) so HiFi-GAN's C=32/64 stages feed the
-    128-lane MXU instead of running at 5-18% MFU."""
+    128-lane MXU instead of running at 5-18% MFU.  TPU-only: the extra
+    paper FLOPs are a loss on CPU meshes (nn/conv.py::mxu_conv_forms)."""
     c = x.shape[1]
-    if c < 128 and 128 % c == 0:
+    if c < 128 and 128 % c == 0 and mxu_conv_forms():
         return conv1d_folded(x, weight_norm_kernel(p), p.get("bias"),
                              dilation=dilation, fold=128 // c)
     return conv1d(x, weight_norm_kernel(p), p.get("bias"),

@@ -24,6 +24,25 @@ from jax import lax
 IntOrPair = Union[int, Tuple[int, int]]
 
 
+def mxu_conv_forms() -> bool:
+    """Whether the MXU-shaped conv rewrites (``conv1d_folded``,
+    ``conv_transpose1d_subpixel``) should be used by model code.
+
+    Both forms trade extra paper FLOPs for 128-lane MXU utilization — a
+    measured win on TPU (NOTES_ROUND4.md) and a pure loss on CPU meshes,
+    where the folded form multiplies FLOPs by up to 8x at small widths (it
+    made the 8-virtual-device dryrun step heavy enough to flirt with XLA's
+    40 s collective rendezvous window).  Gate on the default backend;
+    ``STYLETTS2_MXU_CONV_FORMS=1/0`` overrides either way.
+    """
+    import os
+
+    force = os.environ.get("STYLETTS2_MXU_CONV_FORMS")
+    if force is not None:
+        return force == "1"
+    return jax.default_backend() == "tpu"
+
+
 def _pair(v: IntOrPair) -> Tuple[int, int]:
     return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
 
