@@ -1,18 +1,19 @@
-"""Stage-level timing inside the iSTFTNet decoder (the 213 ms of the 214 ms
-inference call, per scripts/ablate_infer.py).
+"""Stage-level timing inside the HiFi-GAN generator (the LibriTTS-flagship
+decoder, 341 audio-s/s vs iSTFTNet's ~1035 at batch 16 — VERDICT round-4
+item 3: find where the 3x actually goes).
 
-Each sub-graph is one jit at the real bench shapes (batch 16, T_en=400), so
-the ~4 ms tunnel dispatch floor is amortized across a whole stage rather
-than a single conv.  Components:
+Components (production code paths, including the TPU folded/subpixel conv
+forms):
 
   enc     decoder AdainResBlk1d encode/decode stack (1024ch @ T 400-800)
-  src     harmonic source: F0 upsample + SineGen + STFT (audio rate, 240k)
-  mrf0    upsample stage 0: transpose conv + noise path + 3 MRF resblocks
-          (256 ch @ T 8000)
-  mrf1    upsample stage 1: same at 128 ch @ T 48000
-  post    conv_post + exp/sin + iSTFT head
+  src     harmonic source: F0 upsample + SineGen (audio rate 240k, no STFT)
+  st0     upsample stage 0: snake + noise path + up k20/s10 + 3 MRF (C=256 @ 8k)
+  st1     stage 1: up k10/s5 + MRF (C=128 @ 40k)
+  st2     stage 2: up k6/s3  + MRF (C=64  @ 120k)
+  st3     stage 3: up k4/s2  + MRF (C=32  @ 240k)
+  post    snake + conv_post k7 + tanh (C=32 @ 240k)
 
-Usage: python scripts/ablate_decoder.py [component ...]
+Usage: python scripts/ablate_hifigan.py [component ...]   (BENCH_BATCH=16)
 """
 
 import json
@@ -40,8 +41,6 @@ def _time(fn, *args, iters=10):
             s = jax.tree_util.tree_leaves(out)[0].ravel()[0].astype("float32")
             acc = s if acc is None else acc + s
         _ = float(acc)
-        # second-window methodology: report the LAST window, not a min —
-        # the first window after a fresh compile pays allocator reorganization
         last = (time.perf_counter() - t0) / iters * 1000.0
     return last
 
@@ -53,14 +52,16 @@ def main():
     from styletts2_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    from styletts2_tpu.audio.stft import stft_mag_phase, istft_from_mag_phase
-    from styletts2_tpu.config import ModelParams
+    from styletts2_tpu.config import DecoderConfig
     from styletts2_tpu.models import common as cm
     from styletts2_tpu.models.adain_blocks import adain_resblk1d_apply
-    from styletts2_tpu.models.decoder.istftnet import init_decoder
+    from styletts2_tpu.models.decoder.hifigan import init_decoder
     from styletts2_tpu.models.decoder.resblock import adain_resblock1_apply
     from styletts2_tpu.models.decoder.source import source_module_apply_mel
-    from styletts2_tpu.nn.conv import conv1d, conv_transpose1d
+    from styletts2_tpu.nn.activations import snake
+    from styletts2_tpu.nn.conv import (conv1d, conv_transpose1d,
+                                       conv_transpose1d_subpixel,
+                                       mxu_conv_forms)
     from styletts2_tpu.nn.param_norm import weight_norm_kernel
     from styletts2_tpu.utils import cast_pytree
 
@@ -69,12 +70,13 @@ def main():
     def want(name):
         return "all" in which or name in which
 
-    mp = ModelParams()
-    cfg = mp.decoder
+    cfg = DecoderConfig(type="hifigan", upsample_rates=(10, 5, 3, 2),
+                        upsample_kernel_sizes=(20, 10, 6, 4))
     dt = jnp.bfloat16
     b = int(os.environ.get("BENCH_BATCH", "16"))
     t_en = 400
     t_mel = 2 * t_en
+    rates = cfg.upsample_rates
     rng = np.random.default_rng(0)
 
     params = cast_pytree(
@@ -106,8 +108,10 @@ def main():
 
         results["enc"] = _time(jax.jit(enc), params, asr, f0c, nc_, s)
 
-    upsample_scale = 60 * cfg.gen_istft_hop_size
-    t_audio_src = t_en * 2 * upsample_scale
+    upsample_scale = 1
+    for r_ in rates:
+        upsample_scale *= r_
+    t_audio = t_mel * upsample_scale
 
     if want("src"):
         f0c = jnp.abs(jnp.asarray(rng.standard_normal((b, t_mel)), dt)) * 100
@@ -115,19 +119,14 @@ def main():
         def src(p, f0):
             har_source, _, _ = source_module_apply_mel(
                 p["m_source"], None, f0, upsample_scale, deterministic=True)
-            har = har_source[..., 0]
-            har_spec, har_phase = stft_mag_phase(
-                har, cfg.gen_istft_n_fft, cfg.gen_istft_hop_size, cfg.gen_istft_n_fft)
-            return jnp.concatenate([har_spec, har_phase], axis=1)
+            return jnp.swapaxes(har_source, 1, 2)
 
         results["src"] = _time(jax.jit(src), gen, f0c)
 
-    har = jnp.asarray(rng.standard_normal((b, cfg.gen_istft_n_fft + 2,
-                                           t_audio_src // cfg.gen_istft_hop_size + 1)), dt)
+    har = jnp.asarray(rng.standard_normal((b, 1, t_audio)), dt)
 
     def stage(p, x, har, s, i):
-        rates = cfg.upsample_rates
-        x = cm.leaky_relu(x, 0.1)
+        x = snake(x, p["alphas"][str(i)])
         nc = p["noise_convs"][str(i)]
         if i + 1 < len(rates):
             stride_f0 = 1
@@ -143,10 +142,10 @@ def main():
                                          nres_k, (1, 3, 5))
         up = p["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
-        x = conv_transpose1d(x, weight_norm_kernel(up), up.get("bias"),
-                             stride=u, padding=(k - u) // 2)
-        if i == len(rates) - 1:
-            x = jnp.concatenate([x[..., 1:2], x], axis=-1)
+        up_fn = (conv_transpose1d_subpixel if k == 2 * u and mxu_conv_forms()
+                 else conv_transpose1d)
+        x = up_fn(x, weight_norm_kernel(up), up.get("bias"),
+                  stride=u, padding=u // 2 + u % 2, output_padding=u % 2)
         x_source = x_source[..., : x.shape[-1]]
         if x_source.shape[-1] < x.shape[-1]:
             x_source = jnp.pad(x_source, ((0, 0), (0, 0),
@@ -161,25 +160,23 @@ def main():
             xs = r if xs is None else xs + r
         return xs / nk
 
-    if want("mrf0"):
-        x0 = jnp.asarray(rng.standard_normal((b, 512, t_mel)), dt)
-        results["mrf0"] = _time(jax.jit(lambda p, x, h, s: stage(p, x, h, s, 0)),
-                                gen, x0, har, s)
-    if want("mrf1"):
-        x1 = jnp.asarray(rng.standard_normal((b, 256, t_mel * 10)), dt)
-        results["mrf1"] = _time(jax.jit(lambda p, x, h, s: stage(p, x, h, s, 1)),
-                                gen, x1, har, s)
+    t_in = t_mel
+    for i in range(4):
+        c_in = 512 // (2 ** i)
+        if want(f"st{i}"):
+            xi = jnp.asarray(rng.standard_normal((b, c_in, t_in)), dt)
+            results[f"st{i}"] = _time(
+                jax.jit(lambda p, x, h, s, i=i: stage(p, x, h, s, i)),
+                gen, xi, har, s)
+        t_in *= rates[i]
 
     if want("post"):
-        n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
-        xp = jnp.asarray(rng.standard_normal((b, 128, t_mel * 60)), dt)
+        xp = jnp.asarray(rng.standard_normal((b, 32, t_audio)), dt)
 
         def post(p, x):
-            x = cm.leaky_relu(x, 0.01)
+            x = snake(x, p["alphas"][str(len(rates))])
             x = cm.wn_conv1d(p["conv_post"], x, padding=3)
-            spec = jnp.exp(x[:, : n_fft // 2 + 1, :])
-            phase = jnp.sin(x[:, n_fft // 2 + 1:, :])
-            return istft_from_mag_phase(spec, phase, n_fft, hop, n_fft)
+            return jnp.tanh(x)
 
         results["post"] = _time(jax.jit(post), gen, xp)
 

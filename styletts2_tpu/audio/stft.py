@@ -253,6 +253,62 @@ def istft(
     return signal
 
 
+# ---------------------------------------------------------------------------
+# Small-FFT conv fast path (the iSTFTNet vocoder head: n_fft=20, hop=5)
+#
+# The framed formulation materializes (B, n_frames, n_fft) with n_fft on the
+# TPU lane axis: at n_fft=20 every pass pads 20 -> 128 lanes (6.4x HBM
+# blowup), and the harmonic-source STFT alone measured ~115 ms of the
+# batch-128 inference call (scripts/probe_src.py, round 5).  For small
+# divisible hops the DFT IS a strided conv: re/im[k, t] = sum_j
+# window[j]*basis[j,k] * x[hop*t + j], i.e. one conv1d with 2*n_bins output
+# channels — channel-first end to end, no frames tensor; the inverse is the
+# matching conv_transpose plus a STATIC numpy window-envelope division.
+# Exact same sums as the matmul-DFT path up to f32 reassociation.
+# ---------------------------------------------------------------------------
+
+def _use_conv_dft(n_fft: int, hop_length: int, window) -> bool:
+    return (window is None and n_fft % hop_length == 0 and n_fft <= 64
+            and _use_matmul_dft())
+
+
+@functools.lru_cache(maxsize=None)
+def _np_hann_padded(win_length: int, n_fft: int) -> np.ndarray:
+    n = np.arange(win_length)
+    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+    left = (n_fft - win_length) // 2
+    return np.pad(w, (left, n_fft - win_length - left))
+
+
+@functools.lru_cache(maxsize=None)
+def _stft_conv_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    """(2*n_bins, 1, n_fft) kernel: rows [cos*win | -sin*win]."""
+    cos, sin = _rdft_basis(n_fft)                  # (n_fft, n_bins)
+    win = _np_hann_padded(win_length, n_fft)[:, None]
+    return np.concatenate([(cos * win).T, (-sin * win).T],
+                          axis=0)[:, None, :].astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _istft_conv_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    """(2*n_bins, 1, n_fft) transpose-conv kernel: rows [C*win | S*win]."""
+    c, s_ = _irdft_basis(n_fft)                    # (n_bins, n_fft)
+    win = _np_hann_padded(win_length, n_fft)[None, :]
+    return np.concatenate([c * win, s_ * win], axis=0)[:, None, :].astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _np_envelope(n_fft: int, win_length: int, hop_length: int,
+                 n_frames: int, eps: float) -> np.ndarray:
+    """Static squared-window OLA envelope (torch.istft normalizer)."""
+    win = _np_hann_padded(win_length, n_fft)
+    total = n_fft + hop_length * (n_frames - 1)
+    env = np.zeros(total, np.float32)
+    for t in range(n_frames):
+        env[t * hop_length: t * hop_length + n_fft] += win * win
+    return np.maximum(env, eps)
+
+
 def stft_mag_phase(x, n_fft, hop_length, win_length, window=None):
     """(magnitude, phase-angle) pair, the reference ``TorchSTFT.transform``
     The imaginary part is nudged by +0.0 so exact zeros take the +0.0 IEEE
@@ -260,7 +316,23 @@ def stft_mag_phase(x, n_fft, hop_length, win_length, window=None):
     imaginary part cancels exactly (jax's rfft emits -0.0 there, which would
     flip the phase to -pi — a 2*pi jump in the downstream conv inputs).
     (ref: Modules/istftnet.py:91-97)."""
-    spec = stft(x, n_fft, hop_length, win_length, window)
+    if _use_conv_dft(n_fft, hop_length, window):
+        xf = x.astype(jnp.float32)
+        pad = n_fft // 2
+        pad_widths = [(0, 0)] * (xf.ndim - 1) + [(pad, pad)]
+        xf = jnp.pad(xf, pad_widths, mode="reflect")
+        lead = xf.shape[:-1]
+        w = jnp.asarray(_stft_conv_kernel(n_fft, win_length))
+        y = jax.lax.conv_general_dilated(
+            xf.reshape(-1, 1, xf.shape[-1]), w,
+            window_strides=(hop_length,), padding=((0, 0),),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
+        y = y.reshape(*lead, 2 * (n_fft // 2 + 1), y.shape[-1])
+        re, im = jnp.split(y, 2, axis=-2)
+        spec = jax.lax.complex(re, im)
+    else:
+        spec = stft(x, n_fft, hop_length, win_length, window)
     im = jnp.imag(spec)
     im = jnp.where(im == 0.0, 0.0, im)  # -0.0 -> +0.0 (XLA-fold-proof)
     phase = jnp.arctan2(im, jnp.real(spec))
@@ -269,5 +341,37 @@ def stft_mag_phase(x, n_fft, hop_length, win_length, window=None):
 
 def istft_from_mag_phase(mag, phase, n_fft, hop_length, win_length, window=None, length=None):
     """Inverse of :func:`stft_mag_phase` (ref: Modules/istftnet.py:99-104)."""
+    if _use_conv_dft(n_fft, hop_length, window):
+        from ..nn.activations import cos_poly, sin_poly
+
+        magf = mag.astype(jnp.float32)
+        phf = phase.astype(jnp.float32)
+        # polynomial sin/cos: the phase here is an angle in [-pi, pi] (the
+        # vocoder head's sin output or an atan2), so the round-based
+        # reduction is nearly free and XLA's Payne-Hanek lowering (~9x an
+        # HBM pass) is avoided; ~6e-7 agreement (PARITY.md budget table)
+        re = magf * cos_poly(phf)
+        im = magf * sin_poly(phf)
+        z = jnp.concatenate([re, im], axis=-2)     # (..., 2*n_bins, n_frames)
+        lead, n_frames = z.shape[:-2], z.shape[-1]
+        w = jnp.asarray(_istft_conv_kernel(n_fft, win_length))
+        # transpose conv: out[hop*t + j] += sum_c z[c, t] * w[c, 0, j]
+        from ..nn.conv import conv_transpose1d
+
+        sig = conv_transpose1d(z.reshape(-1, z.shape[-2], n_frames), w,
+                               stride=hop_length,
+                               precision=jax.lax.Precision.HIGHEST)
+        total = n_fft + hop_length * (n_frames - 1)
+        env = jnp.asarray(_np_envelope(n_fft, win_length, hop_length,
+                                       n_frames, 1e-11))
+        sig = (sig[:, 0, :] / env).reshape(*lead, total)
+        trim = n_fft // 2
+        sig = sig[..., trim: total - trim]
+        if length is not None:
+            sig = sig[..., :length]
+            if sig.shape[-1] < length:
+                pad_widths = [(0, 0)] * (sig.ndim - 1) + [(0, length - sig.shape[-1])]
+                sig = jnp.pad(sig, pad_widths)
+        return sig
     spec = mag * jnp.exp(1j * phase)
     return istft(spec.astype(jnp.complex64), n_fft, hop_length, win_length, window, length=length)

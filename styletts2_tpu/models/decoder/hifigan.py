@@ -15,13 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from ...config import DecoderConfig
-from ...nn.conv import conv1d, conv_transpose1d, conv_transpose1d_subpixel
+from ...nn.conv import (conv1d, conv_transpose1d, conv_transpose1d_subpixel,
+                        mxu_conv_forms)
 from ...nn.activations import snake
 from ...nn.param_norm import weight_norm_kernel
 from .. import common as cm
 from ..adain_blocks import adain_resblk1d_apply, init_adain_resblk1d
 from .resblock import adain_resblock1_apply, init_adain_resblock1
-from .source import init_source_module, source_module_apply
+from .source import init_source_module, source_module_apply_mel
 from .istftnet import random_smooth
 
 
@@ -86,10 +87,10 @@ def generator_apply(
     num_kernels = len(cfg.resblock_kernel_sizes)
     upsample_scale = _prod(rates)
 
-    f0_up = jnp.repeat(f0[:, None, :], upsample_scale, axis=-1)
-    f0_up = jnp.swapaxes(f0_up.reshape(f0.shape[0], 1, -1), 1, 2)
-    har_source, _, _ = source_module_apply(
-        params["m_source"], key, f0_up, upsample_scale, deterministic=deterministic)
+    # mel-rate source entry point: skips the repeat-then-decimate round trip
+    # of the reference (exact — see source.py::_sine_gen_mel_cf)
+    har_source, _, _ = source_module_apply_mel(
+        params["m_source"], key, f0, upsample_scale, deterministic=deterministic)
     # the source's phase integration is fp32-pinned; rejoin the surrounding
     # compute dtype so a bf16 step isn't promoted to fp32 at the noise convs
     har = jnp.swapaxes(har_source, 1, 2).astype(x.dtype)      # (B, 1, T_audio)
@@ -120,7 +121,8 @@ def generator_apply(
                                              lengths=stage_lengths)
         up = params["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
-        up_fn = conv_transpose1d_subpixel if k == 2 * u else conv_transpose1d
+        up_fn = (conv_transpose1d_subpixel if k == 2 * u and mxu_conv_forms()
+                 else conv_transpose1d)
         x = up_fn(x, weight_norm_kernel(up), up.get("bias"),
                   stride=u, padding=u // 2 + u % 2, output_padding=u % 2)
         x_source = x_source[..., : x.shape[-1]]

@@ -24,12 +24,13 @@ import jax.numpy as jnp
 from ...audio.stft import hann_window, istft_from_mag_phase, stft_mag_phase
 from ...nn.activations import sin_poly
 from ...config import DecoderConfig
-from ...nn.conv import conv1d, conv_transpose1d, conv_transpose1d_subpixel
+from ...nn.conv import (conv1d, conv_transpose1d, conv_transpose1d_subpixel,
+                        mxu_conv_forms)
 from ...nn.param_norm import weight_norm_kernel
 from .. import common as cm
 from ..adain_blocks import adain_resblk1d_apply, init_adain_resblk1d
 from .resblock import adain_resblock1_apply, init_adain_resblock1
-from .source import init_source_module, source_module_apply
+from .source import init_source_module, source_module_apply_mel
 
 
 def _prod(xs) -> int:
@@ -143,11 +144,11 @@ def generator_apply(
     num_kernels = len(cfg.resblock_kernel_sizes)
     upsample_scale = _prod(rates) * hop
 
-    # Harmonic source at audio rate (stop-gradient, like the reference no_grad)
-    f0_up = jnp.repeat(f0[:, None, :], upsample_scale, axis=-1)  # nearest upsample
-    f0_up = jnp.swapaxes(f0_up.reshape(f0.shape[0], 1, -1), 1, 2)
-    har_source, _, _ = source_module_apply(
-        params["m_source"], key, f0_up, upsample_scale, deterministic=deterministic)
+    # Harmonic source at audio rate (stop-gradient, like the reference
+    # no_grad).  The mel-rate entry point skips the reference's
+    # repeat-then-decimate round trip — exact, see _sine_gen_mel_cf.
+    har_source, _, _ = source_module_apply_mel(
+        params["m_source"], key, f0, upsample_scale, deterministic=deterministic)
     har = jax.lax.stop_gradient(har_source[..., 0])               # (B, T_audio)
     har_spec, har_phase = stft_mag_phase(har, n_fft, hop, n_fft)
     # the source STFT is fp32-pinned; rejoin the surrounding compute dtype so
@@ -180,7 +181,8 @@ def generator_apply(
                                              lengths=stage_lengths)
         up = params["ups"][str(i)]
         u, k = rates[i], cfg.upsample_kernel_sizes[i]
-        up_fn = (conv_transpose1d_subpixel if (k - u) % 2 == 0
+        up_fn = (conv_transpose1d_subpixel
+                 if (k - u) % 2 == 0 and mxu_conv_forms()
                  else conv_transpose1d)
         x = up_fn(x, weight_norm_kernel(up), up.get("bias"),
                   stride=u, padding=(k - u) // 2)

@@ -119,6 +119,41 @@ def test_matmul_dft_matches_fft():
         np.testing.assert_allclose(got_wav, ref_wav, atol=2e-4)
 
 
+def test_small_fft_conv_path_matches_fft():
+    """The conv-form STFT/iSTFT fast path (small divisible n_fft — the
+    vocoder head's 20/5) vs the framed FFT path: same sums as one strided
+    conv / conv_transpose, round-5 fix for the (B, n_frames, 20) lane-padded
+    frames tensor that cost ~115 ms of the batch-128 call."""
+    import importlib
+
+    st = importlib.import_module("styletts2_tpu.audio.stft")
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 2400)).astype(np.float32) * 0.3
+    for n_fft, hop in ((20, 5), (16, 4)):
+        st.set_dft_impl("fft")          # conv path off: framed FFT reference
+        mag_r, ph_r = (np.asarray(a) for a in
+                       st.stft_mag_phase(x, n_fft, hop, n_fft))
+        wav_r = np.asarray(st.istft_from_mag_phase(
+            jnp.asarray(mag_r), jnp.asarray(ph_r), n_fft, hop, n_fft))
+        st.set_dft_impl("matmul")       # conv path on (matmul-DFT family)
+        try:
+            mag_c, ph_c = (np.asarray(a) for a in
+                           st.stft_mag_phase(x, n_fft, hop, n_fft))
+            wav_c = np.asarray(st.istft_from_mag_phase(
+                jnp.asarray(mag_r), jnp.asarray(ph_r), n_fft, hop, n_fft))
+        finally:
+            st.set_dft_impl("auto")
+        np.testing.assert_allclose(mag_c, mag_r, atol=2e-4)
+        # phase is compared through re/im (atan2 of near-zero bins is
+        # legitimately unstable where magnitude ~ 0)
+        np.testing.assert_allclose(mag_c * np.cos(ph_c), mag_r * np.cos(ph_r),
+                                   atol=2e-4)
+        np.testing.assert_allclose(mag_c * np.sin(ph_c), mag_r * np.sin(ph_r),
+                                   atol=2e-4)
+        np.testing.assert_allclose(wav_c, wav_r, atol=2e-4)
+
+
 @pytest.mark.parametrize("n_fft,hop", [(1024, 120), (512, 50), (400, 160), (64, 16)])
 def test_frame_signal_vjp_is_overlap_add(n_fft, hop):
     """frame_signal's custom VJP (dense OLA, any hop) vs explicit slicing."""

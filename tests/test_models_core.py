@@ -166,6 +166,38 @@ def test_sine_gen_matches_torch_math():
     np.testing.assert_allclose(np.asarray(uv), uv_t.numpy())
 
 
+@pytest.mark.parametrize("upsample", [300, 60, 7])
+@pytest.mark.parametrize("keyed", [False, True])
+def test_source_module_mel_path_exact(upsample, keyed):
+    """The mel-rate source entry point (the generators' production path,
+    source.py::_sine_gen_mel_cf) matches the audio-rate path on a
+    nearest-repeated curve: the reference's 1/u decimation reads lerp
+    endpoints that both land inside one repeated frame, so skipping the
+    repeat-then-decimate round trip changes no decimated value.  The only
+    non-bitwise piece is the phase upsample, where the mel path's static
+    per-phase fractions are exact (like torch's double source indices)
+    while the audio path quantizes positions in f32 — bounded here at the
+    test's short length."""
+    from styletts2_tpu.models.decoder.source import (
+        init_source_module, source_module_apply, source_module_apply_mel)
+
+    rng = np.random.default_rng(1)
+    p = init_source_module(jax.random.PRNGKey(3))
+    t_mel = 40
+    f0_mel = jnp.asarray(np.abs(rng.standard_normal((2, t_mel))) * 150,
+                         jnp.float32)
+    f0_up = jnp.swapaxes(jnp.repeat(f0_mel[:, None, :], upsample, axis=-1)
+                         .reshape(2, 1, -1), 1, 2)
+    key = jax.random.PRNGKey(9) if keyed else None
+    old = source_module_apply(p, key, f0_up, upsample, deterministic=not keyed)
+    new = source_module_apply_mel(p, key, f0_mel, upsample,
+                                  deterministic=not keyed)
+    for x, y, name, tol in zip(old, new, ("har", "noise", "uv"),
+                               (2e-4, 0.0, 0.0)):
+        err = float(jnp.abs(x - y).max())
+        assert err <= tol, (name, err)
+
+
 @pytest.mark.parametrize("module,cfg", [
     (istftnet, DecoderConfig()),
     (hifigan, DecoderConfig(type="hifigan", upsample_rates=(10, 5, 3, 2),
