@@ -1,18 +1,16 @@
-"""Training-step benchmark: full-size stage-2 step time on the default device.
+"""Stage-1 training-step benchmark: full-size step time on the default device.
 
-Round-1 methodology (PARITY.md "Verified benchmarks"): LJSpeech config,
-diffusion + joint + GAN discriminator phases, 192-mel-frame clips
-(mel_len = 96 en-frames), SLM generator pass included, SLM discriminator
-step excluded.
+Stage 1 is mel reconstruction + TMA joint aligner training
+(ref: train_first.py:312-455); the benchmarked variant is the post-TMA
+phase (epoch >= TMA_epoch): aligner + pitch-extractor joint updates, GAN
+discriminator step, mel/mono/s2s/gen/slm generator losses — the heaviest
+stage-1 step.  Methodology identical to bench_train.py (chained-state
+iterations, scalar fetch as the only sync, second timed window).
 
-Knobs (env):
-  BENCH_TRAIN_BATCH    global batch (default 16)
-  BENCH_TRAIN_MELLEN   en-frame clip length (default 96 = 192 mel frames)
-  BENCH_TRAIN_DTYPE    bf16|fp32 (default bf16)
-  BENCH_TRAIN_PROFILE  directory -> wrap timed iters in jax.profiler.trace
+Knobs (env): BENCH_TRAIN_BATCH (16), BENCH_TRAIN_MELLEN (96 en-frames),
+BENCH_TRAIN_DTYPE (bf16), BENCH_REAL_INIT (numpy-materialized zoo default).
 
-Prints one JSON line with ms/step and training audio-throughput
-(audio_s consumed per second per chip).
+Prints one JSON line with ms/step and training audio-throughput.
 """
 
 import json
@@ -33,20 +31,17 @@ def main():
     from styletts2_tpu.models.zoo import build_zoo, zoo_configs
     from styletts2_tpu.train.loop import make_lr_map
     from styletts2_tpu.train.optimizers import MultiOptimizer
-    from styletts2_tpu.train.stage2 import Stage2Trainer
+    from styletts2_tpu.train.stage1 import Stage1Trainer
 
     b = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
     mel_len = int(os.environ.get("BENCH_TRAIN_MELLEN", "96"))
     dtype = os.environ.get("BENCH_TRAIN_DTYPE", "bf16")
-    profile_dir = os.environ.get("BENCH_TRAIN_PROFILE")
 
     cfg = load_config("configs/ljspeech.yml")
     configs = zoo_configs(cfg.model_params)
     if os.environ.get("BENCH_REAL_INIT") == "1":
         zoo = jax.jit(lambda k: build_zoo(k, cfg.model_params))(jax.random.PRNGKey(0))
     else:
-        # numpy-materialized params: identical ops/shapes, none of the
-        # multi-minute XLA compile of the jitted initializer graph
         from styletts2_tpu.utils import materialize_params
 
         zoo = materialize_params(jax.eval_shape(
@@ -55,12 +50,9 @@ def main():
     states = opt.init(zoo)
     platform = jax.devices()[0].platform
     mixed = "bf16" if (dtype == "bf16" and platform == "tpu") else "no"
-    trainer = Stage2Trainer(cfg, configs, opt, mixed_precision=mixed)
+    trainer = Stage1Trainer(cfg, configs, opt, mixed_precision=mixed)
 
-    step = trainer.make_step(diff=True, joint=True, start_ds=True,
-                             mel_len=mel_len, mel_len_st=mel_len,
-                             num_diff_steps=4, slm_run_disc=False,
-                             slm_frame_capacity=400)
+    step = trainer.make_step(tma=True, mel_len=mel_len, mel_len_st=mel_len)
 
     frames = 2 * mel_len + 16
     t_text = 128
@@ -77,44 +69,28 @@ def main():
     }
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     key = jax.random.PRNGKey(0)
-    sigma = jnp.float32(0.2)
 
-    # NOTE on methodology: through the tunneled TPU backend
-    # ``jax.block_until_ready`` returns without waiting for device execution
-    # (measured: a 1.1-TFLOP jit "completes" in 0.3 ms vs a 5.6 ms roofline).
-    # Only a device->host transfer forces the work, so every timing below
-    # chains the state across iterations and fetches a scalar at the end;
-    # the one tunnel round-trip (~25 ms) is amortized over the loop.
+    # chained-state + scalar-fetch sync; second timed window (see
+    # bench_train.py NOTE for the tunneled-backend rationale)
     t0 = time.perf_counter()
-    out = step(zoo, states, batch, key, sigma)
+    out = step(zoo, states, batch, key)
     _ = float(out.metrics["mel_loss"])
     compile_s = time.perf_counter() - t0
 
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
-    ctx = jax.profiler.trace(profile_dir) if profile_dir else None
-    if ctx:
-        ctx.__enter__()
-    # Chain the state through the loop: every iteration depends on the
-    # previous one (true training semantics), donated buffers are never
-    # reused, and a lazy dispatch path cannot elide unobserved steps.
-    # Two timed windows, report the second — the first window after a fresh
-    # compile pays a one-off device-memory reorganization (measured up to
-    # ~25x on isolated programs).
     o = out
     dt = None
     for r in range(2):
         t0 = time.perf_counter()
         for i in range(iters):
             o = step(o.params, o.opt_states, batch,
-                     jax.random.fold_in(key, r * iters + i), sigma)
+                     jax.random.fold_in(key, r * iters + i))
         _ = float(o.metrics["mel_loss"])
         dt = (time.perf_counter() - t0) / iters
-    if ctx:
-        ctx.__exit__(None, None, None)
 
     audio_s = b * frames * 300 / 24000.0
     print(json.dumps({
-        "metric": "stage2_step_ms",
+        "metric": "stage1_step_ms",
         "value": round(dt * 1000.0, 2),
         "unit": "ms",
         "train_audio_s_per_s": round(audio_s / dt, 2),
@@ -122,6 +98,7 @@ def main():
         "dtype": mixed if mixed != "no" else "fp32",
         "platform": platform,
         "compile_s": round(compile_s, 1),
+        "tma": True,
     }))
 
 

@@ -22,6 +22,34 @@ import jax.numpy as jnp
 logger = logging.getLogger(__name__)
 
 
+def materialize_params(shapes, seed: int = 0):
+    """Materialize an ``eval_shape`` param tree with numpy (no XLA compile).
+
+    For compile checks and benchmarks the params only need correct
+    shapes/dtypes and finite, well-scaled values — building the real zoo
+    under jit costs minutes of XLA compile (2m20s for the full LJSpeech zoo
+    on this host).  Small normals; positive batch-norm running_var; norm
+    scales around 1.  Timing is value-independent (static shapes), so
+    benchmarks over these params measure exactly what real params would.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def materialize(path, s):
+        name = jax.tree_util.keystr(path)
+        if not jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.zeros(s.shape, s.dtype)
+        a = rng.standard_normal(s.shape).astype(np.float32) * 0.05
+        if "running_var" in name:        # batch-norm stats: must be > 0
+            a = np.abs(a) + 1.0
+        elif name.endswith("weight']") and a.ndim == 1:
+            a = a + 1.0                  # norm scales around 1
+        return jnp.asarray(a, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(materialize, shapes)
+
+
 def enable_compilation_cache(path: str = "/tmp/styletts2_jax_cache") -> None:
     """Persist compiled XLA executables across processes.
 

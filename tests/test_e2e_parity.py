@@ -264,3 +264,210 @@ def test_e2e_inference_chain_parity(monkeypatch):
     mel_t = np.asarray(log_mel_spectrogram(jnp.asarray(wav_t[None, :-tail])))
     mel_l1 = np.abs(mel_o - mel_t).mean()
     assert mel_l1 < 1e-2, f"e2e mel L1 {mel_l1}"
+
+
+# ---------------------------------------------------------------------------
+# Multispeaker (LibriTTS / HiFi-GAN) chain
+# ---------------------------------------------------------------------------
+
+def _build_torch_side_multispeaker():
+    """Full-size LibriTTS components: StyleTransformer1d denoiser conditioned
+    on the 256-d reference style, HiFi-GAN decoder.  Same trained-like output
+    rescales as the LJSpeech builder (docstring there); the HiFi-GAN output
+    is tanh-bounded so no conv_post rescale is needed."""
+    from transformers import AlbertConfig, AlbertModel
+
+    torch.manual_seed(23)
+    text_encoder = ref.models.TextEncoder(channels=512, kernel_size=5,
+                                          depth=3, n_symbols=178).eval()
+    bert = AlbertModel(AlbertConfig(
+        vocab_size=178, embedding_size=128, hidden_size=768,
+        num_attention_heads=12, intermediate_size=2048, num_hidden_layers=3,
+        max_position_embeddings=512, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)).eval()
+    bert_encoder = torch.nn.Linear(768, 512).eval()
+    predictor = ref.models.ProsodyPredictor(style_dim=128, d_hid=512,
+                                            nlayers=3, max_dur=50).eval()
+    decoder = ref.hifigan.Decoder(dim_in=512, style_dim=128, dim_out=80).eval()
+    transformer = ref.diff_modules.StyleTransformer1d(
+        num_layers=3, channels=256, num_heads=8, head_features=64,
+        multiplier=2, context_embedding_features=768,
+        embedding_max_length=512, context_features=256).eval()
+
+    with torch.no_grad():
+        predictor.F0_proj.weight *= 0.05
+        predictor.F0_proj.bias.fill_(60.0)
+        predictor.N_proj.weight *= 0.1
+        predictor.duration_proj.linear_layer.weight *= 0.05
+        # ~5 frames/token (sigmoid(-2.2)*50): a ~1 s utterance — long enough
+        # that the chain is a real workout, short enough for the CPU decoder
+        predictor.duration_proj.linear_layer.bias.fill_(-2.2)
+        for m in transformer.to_out.modules():
+            if hasattr(m, "weight") and m.weight is not None:
+                m.weight *= 0.1
+                if m.bias is not None:
+                    m.bias *= 0.1
+    return text_encoder, bert, bert_encoder, predictor, decoder, transformer
+
+
+def _torch_inference_multispeaker(mods, tokens_np, noise_np, step_noises,
+                                  ref_s_np, alpha, beta, monkeypatch):
+    """The LibriTTS demo glue, verbatim semantics
+    (Demo/Inference_LibriTTS.ipynb cell 16): StyleTransformer sampling with
+    ``features=ref_s``, alpha/beta style mixing against ref_s, the
+    hifigan one-frame right shift of ``en`` and ``asr``.  Vocoder dither is
+    zeroed on both sides (the hifigan module-parity test proves that path);
+    ADPM2 step noises come from OUR engine's fold_in stream."""
+    text_encoder, bert, bert_encoder, predictor, decoder, transformer = mods
+    ref_s = torch.tensor(ref_s_np)
+
+    diffusion = ref.diff_sampler.KDiffusion(
+        net=transformer,
+        sigma_distribution=ref.diff_sampler.LogNormalDistribution(-3.0, 1.0),
+        sigma_data=SIGMA_DATA)
+    sampler = ref.diff_sampler.DiffusionSampler(
+        diffusion, sampler=ref.diff_sampler.ADPM2Sampler(),
+        sigma_schedule=ref.diff_sampler.KarrasSchedule(
+            sigma_min=1e-4, sigma_max=3.0, rho=9.0),
+        num_steps=STEPS, clamp=False)
+
+    it = iter([torch.tensor(n) for n in step_noises])
+
+    def fake_randn_like(t, **k):
+        if t.shape == (1, 1, 256):
+            return next(it)
+        return torch.zeros_like(t)          # vocoder source dither -> 0
+
+    monkeypatch.setattr(torch, "randn_like", fake_randn_like)
+    monkeypatch.setattr(torch, "rand", lambda *a, **k: torch.zeros(*a))
+
+    tokens = torch.tensor(tokens_np[None], dtype=torch.long)
+    with torch.no_grad():
+        input_lengths = torch.tensor([tokens.shape[-1]], dtype=torch.long)
+        text_mask = text_encoder.length_to_mask(input_lengths)
+
+        t_en = text_encoder(tokens, input_lengths, text_mask)
+        bert_dur = bert(tokens, attention_mask=(~text_mask).int()).last_hidden_state
+        d_en = bert_encoder(bert_dur).transpose(-1, -2)
+
+        s_pred = sampler(torch.tensor(noise_np),
+                         embedding=bert_dur,
+                         features=ref_s,
+                         num_steps=STEPS, embedding_scale=1.0).squeeze(1)
+        s = s_pred[:, 128:]
+        ref_sty = s_pred[:, :128]
+        ref_sty = alpha * ref_sty + (1 - alpha) * ref_s[:, :128]
+        s = beta * s + (1 - beta) * ref_s[:, 128:]
+
+        d = predictor.text_encoder(d_en, s, input_lengths, text_mask)
+        x, _ = predictor.lstm(d)
+        duration = predictor.duration_proj(x)
+        duration = torch.sigmoid(duration).sum(axis=-1)
+        pred_dur = torch.round(duration.squeeze()).clamp(min=1)
+        # (text ends alphanumeric: the cell-16 "pred_dur[-1] = 1" branch for
+        # trailing punctuation intentionally does not fire)
+
+        pred_aln_trg = torch.zeros(int(input_lengths), int(pred_dur.sum().item()))
+        c_frame = 0
+        for i in range(pred_aln_trg.size(0)):
+            pred_aln_trg[i, c_frame:c_frame + int(pred_dur[i].item())] = 1
+            c_frame += int(pred_dur[i].item())
+
+        en = d.transpose(-1, -2) @ pred_aln_trg.unsqueeze(0)
+        asr_new = torch.zeros_like(en)
+        asr_new[:, :, 0] = en[:, :, 0]
+        asr_new[:, :, 1:] = en[:, :, 0:-1]
+        en = asr_new
+
+        F0_pred, N_pred = predictor.F0Ntrain(en, s)
+
+        asr = t_en @ pred_aln_trg.unsqueeze(0)
+        asr_new = torch.zeros_like(asr)
+        asr_new[:, :, 0] = asr[:, :, 0]
+        asr_new[:, :, 1:] = asr[:, :, 0:-1]
+        asr = asr_new
+
+        out = decoder(asr, F0_pred, N_pred, ref_sty)
+    return out.squeeze().numpy(), np.asarray(pred_dur, np.int64)
+
+
+def test_e2e_multispeaker_chain_parity(monkeypatch):
+    """tokens -> StyleTransformer sampler (ref_s features) -> alpha/beta
+    style mixing -> one-frame shift -> HiFi-GAN decoder -> waveform, both
+    implementations, one set of converted weights (VERDICT round-4 item 6:
+    the multispeaker glue proven, not smoked)."""
+    import dataclasses
+
+    from styletts2_tpu.config import DecoderConfig
+
+    mods = _build_torch_side_multispeaker()
+    text_encoder, bert, bert_encoder, predictor, decoder, transformer = mods
+
+    zoo = {
+        "text_encoder": to_jax_params(text_encoder),
+        "bert": nest(to_numpy_state(bert.state_dict())),
+        "bert_encoder": to_jax_params(bert_encoder),
+        "predictor": to_jax_params(predictor),
+        "decoder": to_jax_params(decoder),
+        "diffusion": {"transformer": to_jax_params(transformer)},
+    }
+    mp = dataclasses.replace(
+        ModelParams(), multispeaker=True,
+        decoder=DecoderConfig(type="hifigan", upsample_rates=(10, 5, 3, 2),
+                              upsample_kernel_sizes=(20, 10, 6, 4)))
+    plbert_cfg = PLBertConfig(vocab_size=178, embedding_size=128,
+                              hidden_size=768, num_attention_heads=12,
+                              intermediate_size=2048,
+                              max_position_embeddings=512, num_hidden_layers=3)
+    # frame_bucket=1 + duration_headroom=1 force the speculative capacity to
+    # miss, so the engine re-synthesizes at t_mel == sum(pred_dur) EXACTLY —
+    # zero frame padding.  This isolates the multispeaker GLUE under test:
+    # untrained AdaIN amplifies the legitimate padded-capacity boundary
+    # effects ~100x beyond what trained weights produce (measured: masked
+    # stats over a 6-valid-of-200 clip shift the whole waveform by ~0.4),
+    # and the padded/masked machinery already has its own e2e gate in the
+    # LJSpeech test above.  This also exercises the capacity-miss replay
+    # path, which no other test covers.
+    engine = InferenceEngine(zoo, mp, plbert_cfg, sigma_data=SIGMA_DATA,
+                             last_token_pad=0, frame_bucket=1,
+                             duration_headroom=1)
+
+    alpha, beta = 0.3, 0.7
+    rng = np.random.default_rng(31)
+    ref_s = (rng.standard_normal((1, 256)) * 0.1).astype(np.float32)
+
+    tokens = engine.tokens_from_phonemes(PHONEMES)
+    assert 4 <= len(tokens) < 32
+
+    k_noise, k_samp = jax.random.split(KEY)
+    noise = np.asarray(jax.random.normal(k_noise, (1, 1, 256)), np.float32)
+    step_noises = [np.asarray(jax.random.normal(
+        jax.random.fold_in(k_samp, i), (1, 1, 256)), np.float32)
+        for i in range(STEPS - 1)]
+
+    wav_o = engine.synthesize(PHONEMES, key=KEY, noise=noise,
+                              diffusion_steps=STEPS, embedding_scale=1.0,
+                              ref_s=ref_s, alpha=alpha, beta=beta)
+
+    wav_t, pred_dur_t = _torch_inference_multispeaker(
+        mods, tokens, noise, step_noises, ref_s, alpha, beta, monkeypatch)
+
+    # durations are integers; engine trims to sum(pred_dur) * 600 samples
+    assert wav_o.shape[0] == int(pred_dur_t.sum()) * 600, (
+        wav_o.shape, pred_dur_t.sum())
+
+    tmin = min(len(wav_o), len(wav_t))
+    wav_o_c, wav_t_c = wav_o[:tmin], wav_t[:tmin]
+
+    # No iSTFT branch-cut head region here (HiFi-GAN synthesizes the
+    # waveform directly) and no frame padding (exact capacity), so the
+    # envelope applies over the whole signal.
+    np.testing.assert_allclose(wav_o_c, wav_t_c, atol=5e-3, rtol=1e-3,
+                               err_msg="multispeaker e2e waveform")
+
+    # BASELINE.md gate on the full composition: log-mel L1 < 1e-2
+    from styletts2_tpu.audio.mel import log_mel_spectrogram
+    mel_o = np.asarray(log_mel_spectrogram(jnp.asarray(wav_o_c[None])))
+    mel_t = np.asarray(log_mel_spectrogram(jnp.asarray(wav_t_c[None])))
+    mel_l1 = np.abs(mel_o - mel_t).mean()
+    assert mel_l1 < 1e-2, f"multispeaker e2e mel L1 {mel_l1}"
