@@ -21,7 +21,8 @@ from ...nn.activations import snake
 from ...nn.param_norm import weight_norm_kernel
 from .. import common as cm
 from ..adain_blocks import adain_resblk1d_apply, init_adain_resblk1d
-from .resblock import adain_resblock1_apply, init_adain_resblock1
+from .resblock import (adain_resblock1_apply, init_adain_resblock1,
+                       mrf_branch_scan_enabled, mrf_branches_scan)
 from .source import init_source_module, source_module_apply_mel
 from .istftnet import random_smooth
 
@@ -75,11 +76,14 @@ def generator_apply(
     deterministic: bool = True,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames at T_mel rate
     fused: bool = False,
+    branch_scan: bool = False,
 ) -> jnp.ndarray:
     """Returns waveform (B, 1, T_samples) (ref: Modules/hifigan.py:320-346).
 
     ``fused=True``: MRF resblocks through the fused Pallas round kernel
-    (see istftnet.generator_apply) — inference only."""
+    (see istftnet.generator_apply) — inference only.  ``branch_scan=True``:
+    MRF branches as one lax.scan (training-compile form, exact — see
+    resblock.mrf_branches_scan)."""
     from ...ops.fused import resolve_mrf_round
     from .istftnet import _mrf_stage_fused, _noise_res_fused
     impl = resolve_mrf_round() if fused else None
@@ -131,6 +135,13 @@ def generator_apply(
         x = x + x_source
         if impl is not None:
             x = _mrf_stage_fused(params, cfg, x, s, i, stage_lengths, impl)
+        elif (branch_scan and mrf_branch_scan_enabled()
+                and len(set(cfg.resblock_dilation_sizes)) == 1):
+            blocks = [params["resblocks"][str(i * num_kernels + j)]
+                      for j in range(num_kernels)]
+            x = mrf_branches_scan(blocks, x, s, cfg.resblock_kernel_sizes,
+                                  cfg.resblock_dilation_sizes[0],
+                                  lengths=stage_lengths)
         else:
             xs = None
             for j in range(num_kernels):
@@ -206,4 +217,4 @@ def decoder_apply(
     return generator_apply(params["generator"], cfg, x, s, f0_curve,
                            key=key, deterministic=key is None,
                            lengths=None if lengths is None else lengths * 2,
-                           fused=fused and not train)
+                           fused=fused and not train, branch_scan=train)

@@ -29,7 +29,8 @@ from ...nn.conv import (conv1d, conv_transpose1d, conv_transpose1d_subpixel,
 from ...nn.param_norm import weight_norm_kernel
 from .. import common as cm
 from ..adain_blocks import adain_resblk1d_apply, init_adain_resblk1d
-from .resblock import adain_resblock1_apply, init_adain_resblock1
+from .resblock import (adain_resblock1_apply, init_adain_resblock1,
+                       mrf_branch_scan_enabled, mrf_branches_scan)
 from .source import init_source_module, source_module_apply_mel
 
 
@@ -130,13 +131,16 @@ def generator_apply(
     deterministic: bool = True,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid frames at T_mel rate
     fused: bool = False,
+    branch_scan: bool = False,
 ) -> jnp.ndarray:
     """Returns waveform (B, 1, T_samples) (ref: Modules/istftnet.py:349-379).
 
     ``fused=True`` routes every MRF resblock (noise_res + the per-stage MRF
     stack) through the fused Pallas round kernel when
     ``ops.fused.resolve_mrf_round()`` enables it — inference only (the
-    kernel defines no VJP)."""
+    kernel defines no VJP).  ``branch_scan=True`` runs the 3 MRF branches
+    as one lax.scan with kernels padded to max-k (exact; 3x less HLO for
+    the training step's compile — see resblock.mrf_branches_scan)."""
     from ...ops.fused import resolve_mrf_round
     impl = resolve_mrf_round() if fused else None
     rates = cfg.upsample_rates
@@ -196,6 +200,13 @@ def generator_apply(
         x = x + x_source
         if impl is not None:
             x = _mrf_stage_fused(params, cfg, x, s, i, stage_lengths, impl)
+        elif (branch_scan and mrf_branch_scan_enabled()
+                and len(set(cfg.resblock_dilation_sizes)) == 1):
+            blocks = [params["resblocks"][str(i * num_kernels + j)]
+                      for j in range(num_kernels)]
+            x = mrf_branches_scan(blocks, x, s, cfg.resblock_kernel_sizes,
+                                  cfg.resblock_dilation_sizes[0],
+                                  lengths=stage_lengths)
         else:
             xs = None
             for j in range(num_kernels):
@@ -298,4 +309,4 @@ def decoder_apply(
     return generator_apply(params["generator"], cfg, x, s, f0_curve,
                            key=key, deterministic=key is None,
                            lengths=None if lengths is None else lengths * 2,
-                           fused=fused and not train)
+                           fused=fused and not train, branch_scan=train)

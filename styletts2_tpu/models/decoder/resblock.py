@@ -123,3 +123,89 @@ def adain_resblock1_apply(p: Dict, x: jnp.ndarray, s: jnp.ndarray,
         h = _mrf_conv(p["convs2"][str(i)], h, kernel_size, 1)
         x = x + h
     return x
+
+
+_BRANCH_SCAN_ENABLED = False  # see mrf_branch_scan_enabled
+
+
+def set_mrf_branch_scan(enabled: bool) -> None:
+    """Toggle the training-step lax.scan MRF form (or STYLETTS2_MRF_SCAN=1/0
+    env, which wins)."""
+    global _BRANCH_SCAN_ENABLED
+    _BRANCH_SCAN_ENABLED = enabled
+
+
+def mrf_branch_scan_enabled() -> bool:
+    """Whether training decoders use the scanned MRF form.
+
+    Default OFF: the scan cuts the decoder's own fwd+bwd compile 3.5x
+    (657 -> 186 s, scripts/compile_profile.py) and is exact, but on THIS
+    image's tunneled backend the FULL stage-2 step containing it is
+    SIGKILLed by the remote compile helper (compile-memory explosion of
+    the scan+remat transpose inside libtpu AOT), while the unrolled step
+    compiles fine.  Opt in with STYLETTS2_MRF_SCAN=1 on runtimes with a
+    local TPU compiler."""
+    import os
+
+    env = os.environ.get("STYLETTS2_MRF_SCAN")
+    if env is not None:
+        return env == "1"
+    return _BRANCH_SCAN_ENABLED
+
+
+def _pad_kernel_center(w: jnp.ndarray, k_to: int) -> jnp.ndarray:
+    """Zero-pad a (out, in, k) kernel symmetrically to width ``k_to``.
+
+    'same'-padded conv with the centered zero-padded kernel equals the
+    'same' conv of the original (the zero taps contribute exactly 0), so
+    branches with different kernel widths become shape-uniform — exact."""
+    k = w.shape[-1]
+    lo = (k_to - k) // 2
+    return jnp.pad(w, ((0, 0), (0, 0), (lo, k_to - k - lo)))
+
+
+def mrf_branches_scan(blocks, x: jnp.ndarray, s: jnp.ndarray,
+                      kernel_sizes: Sequence[int],
+                      dilation: Sequence[int] = (1, 3, 5),
+                      lengths=None) -> jnp.ndarray:
+    """Mean over the MRF branch resblocks as ONE lax.scan iteration per
+    branch, with kernels zero-padded to max(kernel_sizes).
+
+    Compile-time form for the TRAINING step only: the unrolled 3-branch
+    stage (36 convs fwd+bwd per stage) dominates the step's XLA compile
+    through this image's tunnel backend, where compile wall-time scales
+    with op count (~2-4 s per conv emission; scripts/compile_profile.py
+    measured the decoder's fwd+bwd alone at 657 s).  The scan cuts the
+    branch HLO 3x for a measured runtime cost of the padded k3/k7 taps
+    (33/21 = 1.57x of the MRF conv FLOPs) — the inference path keeps the
+    unrolled exact-width convs.  Numerically exact vs the unrolled form up
+    to conv accumulation order (zero taps contribute 0).
+    """
+    k_max = max(kernel_sizes)
+    # zero-padding weight_v leaves the per-output-channel weight-norm
+    # (over the (in, k) dims) unchanged, so g*v/||v|| pads exactly too
+    padded = []
+    for bp in blocks:
+        q = {"adain1": bp["adain1"], "adain2": bp["adain2"],
+             "alpha1": bp["alpha1"], "alpha2": bp["alpha2"],
+             "convs1": {}, "convs2": {}}
+        for name in ("convs1", "convs2"):
+            for si, cp in bp[name].items():
+                q[name][si] = {
+                    k: (_pad_kernel_center(v, k_max)
+                        if k in ("weight", "weight_v") else v)
+                    for k, v in cp.items()}
+        padded.append(q)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
+
+    # remat the body: without it the scan's VJP stacks every branch's f32
+    # intermediates as (n_branches, B, C, T) residuals — 27 GB at the
+    # stage-2 bench shapes (the unrolled form let XLA fuse/rematerialize).
+    # The recompute costs one extra branch forward in the backward pass.
+    @jax.checkpoint
+    def body(acc, bp):
+        r = adain_resblock1_apply(bp, x, s, k_max, dilation, lengths=lengths)
+        return acc + r, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros_like(x), stacked)
+    return acc / len(blocks)

@@ -115,8 +115,15 @@ def plbert_apply(
         bias = (1.0 - attention_mask.astype(h.dtype))[:, None, None, :] * jnp.finfo(h.dtype).min
 
     layer = params["encoder"]["albert_layer_groups"]["0"]["albert_layers"]["0"]
-    for _ in range(cfg.num_hidden_layers):
-        h = _albert_layer(layer, h, bias, cfg)
+
+    # ALBERT shares ONE layer's weights across all 12 applications, so the
+    # repeat is a lax.scan with no stacked params: identical math, 12x less
+    # HLO than the unrolled loop (the stage-2 step compiles this subgraph
+    # twice, fwd+bwd — part of the round-4 452 s step-compile problem).
+    def body(h, _):
+        return _albert_layer(layer, h, bias, cfg), None
+
+    h, _ = jax.lax.scan(body, h, None, length=cfg.num_hidden_layers)
     return h
 
 

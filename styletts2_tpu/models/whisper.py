@@ -157,12 +157,20 @@ def whisper_encoder_apply(
     t = h.shape[1]
     h = h + params["embed_positions"]["weight"][:t][None]
 
-    states = [h]
-    for i in range(cfg.num_layers):
-        h = _whisper_layer(params["layers"][str(i)], h, cfg)
-        states.append(h)
+    # lax.scan over stacked layer params: identical math to the unrolled
+    # loop, 6x less HLO fwd+bwd (this encoder compiles in three stage-2
+    # subgraphs: feature loss, SLM-adversarial, discriminator)
+    layer_list = [params["layers"][str(i)] for i in range(cfg.num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layer_list)
+
+    def body(carry, lp):
+        out = _whisper_layer(lp, carry, cfg)
+        return out, out
+
+    h_last, hs = jax.lax.scan(body, h, stacked)
+    states = [h] + [hs[i] for i in range(cfg.num_layers)]
     # HF applies the final layer_norm and REPLACES the last hidden state
-    final = layer_norm(h, params["layer_norm"]["weight"], params["layer_norm"]["bias"])
+    final = layer_norm(h_last, params["layer_norm"]["weight"], params["layer_norm"]["bias"])
     states[-1] = final
     return states
 

@@ -40,7 +40,15 @@ def materialize_params(shapes, seed: int = 0):
         name = jax.tree_util.keystr(path)
         if not jnp.issubdtype(s.dtype, jnp.floating):
             return jnp.zeros(s.shape, s.dtype)
-        a = rng.standard_normal(s.shape).astype(np.float32) * 0.05
+        a = rng.standard_normal(s.shape).astype(np.float32)
+        if a.ndim >= 2:
+            # fan-in scaling keeps activations O(1) through deep residual
+            # chains — flat 0.05 normals overflowed the iSTFTNet head's
+            # exp() into inf/nan by the 12th resblock (f32, both DFT paths)
+            fan_in = int(np.prod(s.shape[1:]))
+            a *= 0.5 / np.sqrt(max(fan_in, 1))
+        else:
+            a *= 0.05
         if "running_var" in name:        # batch-norm stats: must be > 0
             a = np.abs(a) + 1.0
         elif name.endswith("weight']") and a.ndim == 1:

@@ -166,6 +166,33 @@ def test_sine_gen_matches_torch_math():
     np.testing.assert_allclose(np.asarray(uv), uv_t.numpy())
 
 
+def test_mrf_branch_scan_matches_unrolled():
+    """The training-compile lax.scan form of the MRF branch stack (kernels
+    zero-padded to max-k) equals the unrolled per-branch form — the zero
+    taps contribute exactly 0 and weight-norm is pad-invariant."""
+    from styletts2_tpu.models.decoder.resblock import (
+        adain_resblock1_apply, init_adain_resblock1, mrf_branches_scan)
+
+    c, t, b = 16, 64, 2
+    ks = (3, 7, 11)
+    rng = np.random.default_rng(0)
+    blocks = [init_adain_resblock1(jax.random.fold_in(KEY, j), c, k,
+                                   (1, 3, 5), style_dim=8)
+              for j, k in enumerate(ks)]
+    x = jnp.asarray(rng.standard_normal((b, c, t)) * 0.3, jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, 8)), jnp.float32)
+    lengths = jnp.asarray([t, t - 9])
+
+    want = None
+    for bp, k in zip(blocks, ks):
+        r = adain_resblock1_apply(bp, x, s, k, (1, 3, 5), lengths=lengths)
+        want = r if want is None else want + r
+    want = np.asarray(want) / 3
+    got = np.asarray(mrf_branches_scan(blocks, x, s, ks, (1, 3, 5),
+                                       lengths=lengths))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
 @pytest.mark.parametrize("upsample", [300, 60, 7])
 @pytest.mark.parametrize("keyed", [False, True])
 def test_source_module_mel_path_exact(upsample, keyed):
