@@ -87,7 +87,14 @@ def compute_alignment(
     attn_mask = text_keep[:, :, None] & mel_keep[:, None, :]
     s2s_attn = s2s_attn * attn_mask
 
-    s2s_attn_mono = maximum_path_auto(s2s_attn, text_lengths, mel_len_down)
+    # The mono path is a DETACHED constant in the reference (the Cython DP
+    # runs on CPU outside autograd, ref: utils.py:11-24): gradients flow
+    # through s2s_attn in the L1 mono loss, never through the path search.
+    # The stop_gradient also keeps the Pallas DP kernel (no JVP rule) usable
+    # under value_and_grad on TPU.
+    s2s_attn_mono = jax.lax.stop_gradient(
+        maximum_path_auto(jax.lax.stop_gradient(s2s_attn),
+                          text_lengths, mel_len_down))
     return ppgs, s2s_pred, s2s_attn, s2s_attn_mono
 
 
